@@ -1,0 +1,34 @@
+from swin_v2_weather_tpu.ops.quadrature import (
+    GridQuadrature,
+    clenshaw_curtiss_weights,
+    legendre_gauss_weights,
+    quadrature_weights,
+)
+from swin_v2_weather_tpu.ops.metrics import (
+    latitude_weights,
+    weighted_acc,
+    weighted_rmse,
+    weighted_rmse_channels,
+    weighted_acc_channels,
+    unweighted_acc_channels,
+    top_quantiles_error,
+)
+from swin_v2_weather_tpu.ops.zenith import cos_zenith_angle
+from swin_v2_weather_tpu.ops.losses import LossHandler, auto_channel_weights
+
+__all__ = [
+    "GridQuadrature",
+    "clenshaw_curtiss_weights",
+    "legendre_gauss_weights",
+    "quadrature_weights",
+    "latitude_weights",
+    "weighted_acc",
+    "weighted_rmse",
+    "weighted_rmse_channels",
+    "weighted_acc_channels",
+    "unweighted_acc_channels",
+    "top_quantiles_error",
+    "cos_zenith_angle",
+    "LossHandler",
+    "auto_channel_weights",
+]

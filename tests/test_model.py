@@ -1,0 +1,280 @@
+"""Model tests: shapes, init-identity blocks, mask semantics, patch-embed ==
+conv, longitude periodicity, scan/unrolled parity, multistep wrapper."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swin_v2_weather_tpu.models.swin import (
+    PatchEmbed,
+    SwinBlock,
+    SwinTransformerV2,
+    calc_window_shift,
+    make_log_relative_coords,
+    make_shift_mask,
+    window_partition,
+    window_reverse,
+)
+from swin_v2_weather_tpu.models.wrappers import MultiStepWrapper, SingleStepWrapper
+
+
+def tiny_model(**over):
+    kw = dict(
+        img_size=(24, 48),
+        patch_size=2,
+        in_chans=5,
+        out_chans=4,
+        embed_dim=32,
+        depth=2,
+        num_heads=2,
+        img_window_ratio=8,  # window (3, 6) on the (12, 24) grid
+        drop_path_rate=0.1,
+        full_pos_embed=True,
+        rel_pos=False,
+        residual=True,
+        dtype=jnp.float32,
+        scan_blocks=True,
+    )
+    kw.update(over)
+    return SwinTransformerV2(**kw)
+
+
+class TestShapes:
+    def test_forward_shape(self):
+        model = tiny_model()
+        x = jnp.ones((2, 5, 24, 48))
+        params = model.init(jax.random.key(0), x)
+        y = model.apply(params, x)
+        assert y.shape == (2, 4, 24, 48)
+        assert y.dtype == jnp.float32
+
+    def test_window_roundtrip(self):
+        x = jnp.arange(2 * 12 * 24 * 3, dtype=jnp.float32).reshape(2, 12, 24, 3)
+        w = window_partition(x, (3, 6))
+        assert w.shape == (2 * 4 * 4, 3, 6, 3)
+        back = window_reverse(w, (3, 6), (12, 24))
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    def test_window_clamps_to_feat_size(self):
+        win, shift = calc_window_shift((4, 24), (9, 6), (4, 3))
+        assert win == (4, 6)
+        assert shift == (0, 3)  # H dim fully covered -> no shift in H
+
+
+class TestMask:
+    def test_lat_only_mask_structure(self):
+        feat, win, shift = (12, 24), (3, 6), (1, 3)
+        mask = make_shift_mask(feat, win, shift)
+        nh, nw = feat[0] // win[0], feat[1] // win[1]
+        assert mask.shape == (nh * nw, win[0] * win[1], win[0] * win[1])
+        # all windows except the last row band are unmasked
+        per_window = np.abs(mask).sum(axis=(1, 2))
+        assert (per_window[: (nh - 1) * nw] == 0).all()
+        assert (per_window[(nh - 1) * nw :] > 0).all()
+        # within a masked window: rows from different lat bands blocked
+        wmask = mask[-1].reshape(win[0], win[1], win[0], win[1])
+        # band boundary at row h - shift_h within the window: last `shift`
+        # rows of the rolled field came from across the pole
+        sh = shift[0]
+        assert (wmask[: win[0] - sh, :, : win[0] - sh, :] == 0).all()
+        assert (wmask[win[0] - sh :, :, win[0] - sh :, :] == 0).all()
+        assert (wmask[: win[0] - sh, :, win[0] - sh :, :] == -100).all()
+
+    def test_mask_matches_reference_algorithm(self):
+        # independent oracle following networks/swinv2_global.py:403-424
+        feat, win, shift = (12, 24), (3, 6), (1, 3)
+        h, w = feat
+        img = np.zeros((h, w))
+        cnt = 0
+        for hs in (slice(0, h - win[0]), slice(h - shift[0], None)):
+            img[hs, :] = cnt
+            cnt += 1
+        mw = (
+            img.reshape(h // win[0], win[0], w // win[1], win[1])
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, win[0] * win[1])
+        )
+        diff = mw[:, None, :] - mw[:, :, None]
+        want = np.where(diff != 0, -100.0, 0.0)
+        np.testing.assert_array_equal(make_shift_mask(feat, win, shift), want)
+
+
+class TestPatchEmbed:
+    def test_equals_strided_conv(self, rng):
+        p, cin, cout = 4, 7, 16
+        pe = PatchEmbed(patch_size=p, in_chans=cin, embed_dim=cout, dtype=jnp.float32)
+        x = jnp.asarray(rng.normal(size=(2, 16, 32, cin)), jnp.float32)
+        params = pe.init(jax.random.key(1), x)
+        y = pe.apply(params, x)
+
+        # same math via lax strided convolution with the dense kernel
+        # reshaped to [p, p, cin, cout] (space-to-depth ordering)
+        kernel = params["params"]["proj"]["kernel"].reshape(p, p, cin, cout)
+        bias = params["params"]["proj"]["bias"]
+        conv = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(p, p), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+        # apply the same LayerNorm
+        ln_scale = params["params"]["norm"]["scale"]
+        ln_bias = params["params"]["norm"]["bias"]
+        mu = conv.mean(-1, keepdims=True)
+        var = ((conv - mu) ** 2).mean(-1, keepdims=True)
+        want = (conv - mu) / jnp.sqrt(var + 1e-5) * ln_scale + ln_bias
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=2e-5)
+
+
+class TestInitBehavior:
+    def test_blocks_start_as_identity(self, rng):
+        # init_values=0 zeroes both post-norms -> block(x) == x at init
+        blk = SwinBlock(
+            dim=16, num_heads=2, feat_size=(8, 12), window_size=(4, 6),
+            shift_size=(2, 3), shifted=True, dtype=jnp.float32,
+        )
+        x = jnp.asarray(rng.normal(size=(2, 8, 12, 16)), jnp.float32)
+        params = blk.init(jax.random.key(0), x, 0.0)
+        y = blk.apply(params, x, 0.0)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+    def test_model_at_init_with_residual_is_near_input(self, rng):
+        # blocks are identity at init; head is not zero but the residual
+        # dominates only if head output is small — just check finiteness and
+        # that the residual path is present (output != pure head output)
+        model = tiny_model()
+        x = jnp.asarray(rng.normal(size=(1, 5, 24, 48)), jnp.float32)
+        params = model.init(jax.random.key(0), x)
+        y_res = model.apply(params, x)
+        model_nores = tiny_model(residual=False)
+        y_nores = model_nores.apply(params, x)
+        np.testing.assert_allclose(
+            np.asarray(y_res - y_nores), np.asarray(x[:, :4]), atol=1e-5
+        )
+
+
+def _activate_blocks(params):
+    """Set post-norm scales to 1 so blocks contribute (init is identity)."""
+
+    def fix(path, leaf):
+        names = [getattr(p, "key", "") for p in path]
+        if ("norm1" in names or "norm2" in names) and names[-1] == "scale":
+            return jnp.ones_like(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fix, params)
+
+
+class TestPeriodicity:
+    def test_longitude_roll_equivariance(self, rng):
+        # no absolute pos embed, relative bias only -> rolling the input by a
+        # multiple of (window_w * patch) pixels rolls the output identically
+        model = tiny_model(full_pos_embed=False, rel_pos=True, residual=False,
+                           drop_path_rate=0.0)
+        x = jnp.asarray(rng.normal(size=(1, 5, 24, 48)), jnp.float32)
+        params = _activate_blocks(model.init(jax.random.key(0), x))
+        shift_px = 6 * 2  # window_w(6) * patch(2)
+        y = model.apply(params, x)
+        assert np.abs(np.asarray(y)).max() > 1e-3  # blocks active
+        y_roll = model.apply(params, jnp.roll(x, shift_px, axis=3))
+        np.testing.assert_allclose(
+            np.asarray(jnp.roll(y, shift_px, axis=3)), np.asarray(y_roll), atol=1e-4
+        )
+
+    def test_latitude_roll_not_equivariant(self, rng):
+        # the lat-only mask must break meridional periodicity
+        model = tiny_model(full_pos_embed=False, rel_pos=True, residual=False,
+                           drop_path_rate=0.0)
+        x = jnp.asarray(rng.normal(size=(1, 5, 24, 48)), jnp.float32)
+        params = _activate_blocks(model.init(jax.random.key(0), x))
+        shift_px = 3 * 2
+        y = model.apply(params, x)
+        y_roll = model.apply(params, jnp.roll(x, shift_px, axis=2))
+        assert np.abs(np.asarray(jnp.roll(y, shift_px, axis=2)) - np.asarray(y_roll)).max() > 1e-3
+
+
+class TestScanParity:
+    def test_scan_matches_unrolled(self, rng):
+        scan_model = tiny_model(drop_path_rate=0.0)
+        unroll_model = tiny_model(drop_path_rate=0.0, scan_blocks=False)
+        x = jnp.asarray(rng.normal(size=(1, 5, 24, 48)), jnp.float32)
+        sp = scan_model.init(jax.random.key(7), x)
+
+        # build unrolled params from the scan-stacked ones
+        up = unroll_model.init(jax.random.key(7), x)
+        stacked = sp["params"]["pairs"]
+        new = dict(up["params"])
+        for i in range(2):  # depth 2 -> 1 pair -> block0, block1
+            src = jax.tree.map(lambda a: a[0], stacked[f"block{i}"])
+            new[f"block{i}"] = src
+        y_scan = scan_model.apply(sp, x)
+        y_unroll = unroll_model.apply({"params": new}, x)
+        np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_unroll), atol=2e-5)
+
+
+class TestTraining:
+    def test_droppath_changes_train_output(self, rng):
+        model = tiny_model(drop_path_rate=0.9)
+        x = jnp.asarray(rng.normal(size=(4, 5, 24, 48)), jnp.float32)
+        params = _activate_blocks(model.init(jax.random.key(0), x))
+        y_det = model.apply(params, x, train=False)
+        y_tr = model.apply(params, x, train=True, rngs={"dropout": jax.random.key(1)})
+        assert np.abs(np.asarray(y_det) - np.asarray(y_tr)).max() > 0  # stochastic path active
+
+    def test_grads_finite(self, rng):
+        model = tiny_model()
+        x = jnp.asarray(rng.normal(size=(1, 5, 24, 48)), jnp.float32)
+        params = model.init(jax.random.key(0), x)
+
+        def loss_fn(p):
+            return jnp.mean(model.apply(p, x) ** 2)
+
+        g = jax.grad(loss_fn)(params)
+        leaves = jax.tree.leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        # some gradient must reach the patch embed
+        assert np.abs(np.asarray(g["params"]["patch_embed"]["proj"]["kernel"])).max() > 0
+
+    def test_remat_matches_no_remat(self, rng):
+        m1 = tiny_model(drop_path_rate=0.0)
+        m2 = tiny_model(drop_path_rate=0.0, checkpoint_stages=True)
+        x = jnp.asarray(rng.normal(size=(1, 5, 24, 48)), jnp.float32)
+        params = m1.init(jax.random.key(0), x)
+        y1 = m1.apply(params, x)
+        y2 = m2.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+class TestWrappers:
+    def _mk(self, n_future):
+        core = tiny_model(in_chans=8, out_chans=4, residual=True, drop_path_rate=0.0)
+        # in_chans = 4 pred + 1 zenith + 3 invar
+        if n_future > 0:
+            return MultiStepWrapper(model=core, n_future=n_future, n_invar=3)
+        return SingleStepWrapper(model=core)
+
+    def test_single_step(self, rng):
+        wrapper = self._mk(0)
+        x = jnp.asarray(rng.normal(size=(2, 8, 24, 48)), jnp.float32)
+        params = wrapper.init(jax.random.key(0), x)
+        y = wrapper.apply(params, x, coszen=None)
+        assert y.shape == (2, 4, 24, 48)
+
+    def test_multi_step_rollout_shape(self, rng):
+        n_future = 2
+        wrapper = self._mk(n_future)
+        x = jnp.asarray(rng.normal(size=(2, 8, 24, 48)), jnp.float32)
+        coszen = jnp.asarray(rng.normal(size=(2, n_future + 1, 24, 48)), jnp.float32)
+        params = wrapper.init(jax.random.key(0), x, coszen)
+        y = wrapper.apply(params, x, coszen)
+        assert y.shape == (2, (n_future + 1) * 4, 24, 48)
+
+    def test_multi_step_first_step_equals_single(self, rng):
+        wrapper = self._mk(1)
+        x = jnp.asarray(rng.normal(size=(1, 8, 24, 48)), jnp.float32)
+        coszen = jnp.asarray(rng.normal(size=(1, 2, 24, 48)), jnp.float32)
+        params = wrapper.init(jax.random.key(0), x, coszen)
+        y = wrapper.apply(params, x, coszen)
+        # both wrappers name the inner module "model", so params are shared
+        single = SingleStepWrapper(model=wrapper.model)
+        y0 = single.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y[:, :4]), np.asarray(y0), atol=1e-6)

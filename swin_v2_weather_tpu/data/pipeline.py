@@ -1,0 +1,202 @@
+"""Host input pipeline: sharded, threaded batch assembly + device prefetch.
+
+This replaces the reference's two loader stacks (torch DataLoader,
+``utils/data_loader_era5.py``; NVIDIA DALI pipeline,
+``utils/data_loader_era5_dali.py``) with one TPU-native design:
+
+  * **Deterministic epoch-seeded permutation, then shard slice** — the exact
+    ordering semantics of the DALI external source (reference
+    ``utils/dali_era5_es_helper.py:163-175``): every shard permutes the full
+    index space with the same ``base_seed + epoch`` seed and takes a strided
+    slice, so global coverage is a partition and restarts are reproducible.
+  * **Thread-pool sample fetch with look-ahead** — h5py reads release the
+    GIL inside libhdf5, so a small thread pool overlaps disk I/O, decode and
+    the device step without DALI's worker processes.
+  * **Async device placement** — ``device_prefetch`` wraps the host iterator
+    and calls ``jax.device_put`` with a ``NamedSharding`` that splits the
+    batch across the mesh's data axis; transfers are asynchronous, so
+    ``depth`` batches are in flight while the current step runs (the role of
+    DALI's prefetch queue + pinned-buffer H2D stage, reference
+    ``utils/data_loader_era5_dali.py:45-75``).
+
+An optional native C++ reader (``swin_v2_weather_tpu/data/native``) can take
+over the fetch stage when Python becomes the bottleneck; the interface here
+is unchanged.
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures
+from typing import Dict, Iterator
+
+import numpy as np
+
+_SAMPLE_KEYS = ("inp", "tar", "zen_inp", "zen_tar")
+
+
+class ThreadedLoader:
+    """Iterates dict batches over a sharded, shuffled dataset.
+
+    One epoch per ``__iter__`` call; call :meth:`set_epoch` before each epoch
+    (the reference ``DistributedSampler.set_epoch`` contract,
+    ``train.py:232-233``). Batches are stacked numpy arrays keyed
+    ``inp / tar [/ zen_inp / zen_tar]``; incomplete trailing batches are
+    dropped (the reference drops them in both loaders).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shard_id: int = 0,
+        num_shards: int = 1,
+        shuffle: bool = True,
+        seed: int = 333,
+        num_workers: int = 4,
+        prefetch_batches: int = 2,
+    ):
+        if batch_size < 1:
+            raise ValueError("batch_size must be >= 1")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.shuffle = shuffle
+        self.seed = int(seed)
+        self.num_workers = max(1, int(num_workers))
+        self.prefetch_batches = max(1, int(prefetch_batches))
+        self.epoch = 0
+
+        n_shard = len(dataset) // num_shards
+        self.n_steps = n_shard // batch_size
+        if self.n_steps == 0:
+            raise ValueError(
+                f"dataset of {len(dataset)} samples / {num_shards} shards cannot "
+                f"fill one batch of {batch_size}"
+            )
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=self.num_workers, thread_name_prefix="era5-loader"
+        )
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
+
+    def __len__(self) -> int:
+        return self.n_steps
+
+    def _shard_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        return order[self.shard_id :: self.num_shards]
+
+    @staticmethod
+    def _collate(samples) -> Dict[str, np.ndarray]:
+        batch = {}
+        for key, parts in zip(_SAMPLE_KEYS, zip(*samples)):
+            batch[key] = np.ascontiguousarray(np.stack(parts))
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._shard_indices()
+        n_consumable = self.n_steps * self.batch_size
+        lookahead = min((self.prefetch_batches + 1) * self.batch_size, n_consumable)
+        futures: collections.deque = collections.deque(
+            self._pool.submit(self.dataset.__getitem__, int(indices[i])) for i in range(lookahead)
+        )
+        submitted = lookahead
+        for _ in range(self.n_steps):
+            samples = []
+            for _ in range(self.batch_size):
+                samples.append(futures.popleft().result())
+                if submitted < n_consumable:
+                    futures.append(
+                        self._pool.submit(self.dataset.__getitem__, int(indices[submitted]))
+                    )
+                    submitted += 1
+            yield self._collate(samples)
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False, cancel_futures=True)
+
+
+def device_prefetch(
+    iterator: Iterator[Dict[str, np.ndarray]],
+    mesh=None,
+    depth: int = 2,
+    batch_axis: str = "data",
+):
+    """Move host batches onto devices ahead of consumption.
+
+    With a mesh, each array is placed with ``NamedSharding(mesh,
+    P(batch_axis))`` — batch dimension split across the data axis, so the
+    jitted step consumes already-sharded global arrays with no layout pass.
+    ``jax.device_put`` is async; keeping ``depth`` batches in flight overlaps
+    H2D DMA with the previous step's compute.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = None
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P(batch_axis))
+    multihost = jax.process_count() > 1
+
+    def place_one(v):
+        if sharding is None:
+            return jax.device_put(v)
+        if multihost:
+            # each process holds its local slice of the global batch; stitch
+            # them into one global array over the full mesh
+            return jax.make_array_from_process_local_data(sharding, v)
+        return jax.device_put(v, sharding)
+
+    def place(batch):
+        return {k: place_one(v) for k, v in batch.items()}
+
+    queue: collections.deque = collections.deque()
+    for batch in iterator:
+        queue.append(place(batch))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
+def get_data_loader(params, location: str, train: bool):
+    """Loader dispatch (reference ``utils/__init__.py:1-6``).
+
+    ``params.data_loader_config``: ``'threaded'`` reads the ERA5 HDF5 archive
+    (optionally with the native C++ fetch stage when
+    ``params.use_native_loader``); ``'synthetic'`` generates deterministic
+    fake data with identical shapes. Returns ``(loader, dataset)``.
+    """
+    cfg = str(getattr(params, "data_loader_config", "threaded"))
+    if cfg == "synthetic":
+        from swin_v2_weather_tpu.data.synthetic import SyntheticDataset
+
+        dataset = SyntheticDataset(params, location, train=train)
+    elif cfg in ("threaded", "pytorch", "dali-es-gpu", "dali"):
+        # reference config values for the two torch/DALI stacks map onto the
+        # one threaded loader here
+        from swin_v2_weather_tpu.data.era5 import Era5Dataset
+
+        dataset = Era5Dataset(params, location, train=train)
+    else:
+        raise ValueError(f"unknown data_loader_config {cfg!r}")
+
+    loader = ThreadedLoader(
+        dataset,
+        batch_size=int(getattr(params, "local_batch_size", params.batch_size)),
+        shard_id=int(getattr(params, "data_shard_id", 0)),
+        num_shards=int(getattr(params, "data_num_shards", 1)),
+        shuffle=train,
+        seed=int(getattr(params, "seed", 333) or 333),
+        num_workers=int(getattr(params, "num_data_workers", 4)),
+        prefetch_batches=int(getattr(params, "prefetch_depth", 2)),
+    )
+    return loader, dataset

@@ -272,10 +272,19 @@ class WindowAttention(nn.Module):
             )  # [L*L, heads]
             bias = cpb.transpose(1, 0).reshape(self.num_heads, l, l)
 
-        if self.attn_impl == "pallas":
+        use_pallas = self.attn_impl == "pallas" and not (
+            self.drop_attn > 0.0 and not deterministic
+        )
+        if use_pallas:
             from swin_v2_weather_tpu.ops.window_attention import fused_window_attention
 
-            out = fused_window_attention(q, k, v, scale, bias=bias, mask=mask)
+            # the [nW, L, L] mask collapses to one boundary-row pattern
+            # (latitude-only masking; see ops/window_attention.py docstring)
+            pattern = mask[-1] if mask is not None else None
+            out = fused_window_attention(
+                q, k, v, scale, bias=bias, mask_pattern=pattern,
+                window_grid=self.window_grid,
+            )
         else:
             # cosine similarity attention in fp32
             qf = q.astype(jnp.float32)

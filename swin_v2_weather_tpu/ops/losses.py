@@ -214,12 +214,19 @@ class LossHandler:
         squared = "squared" in spec
 
         if "temp-std" in spec:
+            import os
+
             eps = 1e-6
             out_ch = np.asarray(params.out_channels)
-            global_stds = np.load(params.global_stds_path).reshape(1, -1, 1, 1)[:, out_ch]
-            time_diff_stds = np.sqrt(params.dt) * np.load(params.time_diff_stds_path).reshape(
-                1, -1, 1, 1
-            )[:, out_ch]
+            if os.path.exists(str(params.global_stds_path)) and os.path.exists(
+                str(params.time_diff_stds_path)
+            ):
+                global_stds = np.load(params.global_stds_path).reshape(1, -1, 1, 1)[:, out_ch]
+                raw_diff_stds = np.load(params.time_diff_stds_path).reshape(1, -1, 1, 1)[:, out_ch]
+            else:  # synthetic-data runs: unit-variance fields, no stats files
+                global_stds = np.ones((1, len(out_ch), 1, 1))
+                raw_diff_stds = np.ones((1, len(out_ch), 1, 1))
+            time_diff_stds = np.sqrt(params.dt) * raw_diff_stds
             time_var_weights = global_stds / (time_diff_stds + eps)
             if squared:
                 time_var_weights = time_var_weights**2

@@ -1,0 +1,92 @@
+"""Device mesh + sharding layer — the TPU-native replacement for NCCL/DDP.
+
+The reference's entire distributed runtime is a NCCL process group plus
+torch DDP gradient hooks (reference ``train.py:65-66,186-190``). On TPU none
+of that machinery exists as a separate runtime: parallelism is expressed as
+a ``jax.sharding.Mesh`` over the chips plus sharding annotations on the
+jitted train step, and XLA inserts the collectives (gradient ``psum`` over
+ICI, with latency-hiding overlap — the role DDP's bucketed allreduce plays)
+during compilation.
+
+Mesh axes:
+  * ``data``  — data parallelism (the reference's only strategy, SURVEY §2c).
+  * ``model`` — reserved for tensor/spatial sharding extensions; 1 by
+    default so a data-only mesh and a future 2-D mesh share code paths.
+
+Multi-host: call :func:`init_distributed` once per process before touching
+devices (the ``jax.distributed.initialize`` analog of the reference's
+``init_process_group``, driven by the same kind of launcher-provided env).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+
+def init_distributed(params=None) -> Tuple[int, int]:
+    """Initialize multi-process JAX if a coordinator is configured.
+
+    Returns (process_index, process_count). Single-process runs (including
+    one host driving a whole TPU slice) need no initialization at all —
+    unlike NCCL, single-host multi-chip needs no process group.
+    """
+    coord = os.environ.get("COORDINATOR_ADDRESS")
+    nproc = os.environ.get("NPROCS") or os.environ.get("WORLD_SIZE")
+    pid = os.environ.get("PROCESS_ID") or os.environ.get("RANK")
+    if coord and nproc and int(nproc) > 1:
+        jax.distributed.initialize(
+            coordinator_address=coord, num_processes=int(nproc), process_id=int(pid or 0)
+        )
+        logger.info(
+            "jax.distributed initialized: process %d/%d", jax.process_index(), jax.process_count()
+        )
+    return jax.process_index(), jax.process_count()
+
+
+def make_mesh(
+    params=None,
+    devices=None,
+    data_parallel: Optional[int] = None,
+    model_parallel: int = 1,
+) -> Mesh:
+    """Build the (data, model) mesh.
+
+    ``mesh_shape: 'auto'`` (the default) puts every visible device on the
+    data axis. An explicit ``[dp, mp]`` list in the config selects a 2-D
+    layout; device order follows ``jax.devices()``, which is already
+    ICI-contiguous on TPU slices.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+
+    shape = getattr(params, "mesh_shape", "auto") if params is not None else "auto"
+    if data_parallel is None:
+        if isinstance(shape, (list, tuple)) and len(shape) == 2:
+            data_parallel, model_parallel = int(shape[0]), int(shape[1])
+        else:
+            data_parallel, model_parallel = n, 1
+    if data_parallel * model_parallel != n:
+        raise ValueError(
+            f"mesh {data_parallel}x{model_parallel} does not cover {n} devices"
+        )
+    dev_array = np.asarray(devices).reshape(data_parallel, model_parallel)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for [B, ...] arrays: batch split over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (parameters, optimizer state, scalars)."""
+    return NamedSharding(mesh, P())

@@ -1,0 +1,126 @@
+"""Jitted, mesh-sharded train and eval steps.
+
+The reference hot loop (``train.py:273-296``) is: preprocess → autocast
+forward → loss → backward (DDP allreduce overlapped) → optimizer step →
+blocking scalar allreduce + ``loss.item()`` every iteration. The TPU-native
+step folds ALL of that into one compiled program over the device mesh:
+
+  * the batch arrives already sharded over the ``data`` axis (see
+    ``data/pipeline.device_prefetch``); parameters/optimizer state are
+    replicated;
+  * XLA inserts the gradient all-reduce over ICI during compilation and
+    overlaps it with backward compute (what DDP's bucketed hooks do, without
+    a communication runtime);
+  * the optimizer update and the loss reduction happen in the same program —
+    there is no per-step host synchronization; the host only reads the loss
+    array when it logs (an async fetch, reference's ``loss.item()`` D2H sync
+    cost noted in SURVEY §3.1 is designed out);
+  * gradient scale: DDP averages per-rank gradient sums, so the effective
+    reference loss is ``sum_over_global_batch / world_size``. We reproduce
+    it exactly with ``loss / n_data_shards`` — identical training dynamics
+    at the same global batch + shard count, and the logged value equals the
+    reference's post-allreduce ``loss/world_size``.
+
+Validation (reference ``train.py:305-371``) similarly fuses loss + the
+latitude-weighted per-channel RMSE into one program; denormalization by the
+global stds happens on the host once per epoch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from swin_v2_weather_tpu.ops.metrics import weighted_rmse
+from swin_v2_weather_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+
+class TrainState(flax.struct.PyTreeNode):
+    """Minimal training state pytree: step counter, params, optimizer state."""
+
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, optimizer: optax.GradientTransformation) -> "TrainState":
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=optimizer.init(params),
+        )
+
+
+def make_loss_fn(model, loss_handler, preprocessor, loss_scale: float) -> Callable:
+    def loss_fn(params, batch: Dict[str, jnp.ndarray], rng) -> jnp.ndarray:
+        inp, tar, tzen = preprocessor(batch)
+        gen = model.apply({"params": params}, inp, coszen=tzen, train=True, rngs={"dropout": rng})
+        gen = gen.astype(jnp.float32)
+        return loss_handler(gen, tar, inp) * loss_scale
+
+    return loss_fn
+
+
+def build_train_step(
+    model,
+    loss_handler,
+    preprocessor,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    loss_scale: Optional[float] = None,
+):
+    """Compile fn(state, batch, rng) -> (state, loss) over the mesh.
+
+    ``state`` is donated: parameter and optimizer buffers are updated in
+    place on device, halving peak optimizer memory.
+    """
+    if loss_scale is None:
+        loss_scale = 1.0 / float(mesh.shape["data"])
+    loss_fn = make_loss_fn(model, loss_handler, preprocessor, loss_scale)
+
+    def step_fn(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params, opt_state=opt_state), loss
+
+    repl = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, bsh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def build_eval_step(model, loss_handler, preprocessor, mesh, n_out_channels: int,
+                    loss_scale: Optional[float] = None):
+    """Compile fn(params, batch) -> {'loss', 'rmse'[C]} over the mesh.
+
+    RMSE is computed on the final rollout step's channels (reference
+    ``train.py:327-329``), latitude-weighted, in normalized units; the caller
+    rescales by the per-channel global stds.
+    """
+    if loss_scale is None:
+        loss_scale = 1.0 / float(mesh.shape["data"])
+
+    def eval_fn(params, batch):
+        inp, tar, tzen = preprocessor(batch)
+        gen = model.apply({"params": params}, inp, coszen=tzen, train=False)
+        gen = gen.astype(jnp.float32)
+        # the reference's LossHandler stays in training mode during
+        # validation (multistep weight applied) — see ops/losses.py docstring
+        loss = loss_handler(gen, tar, inp) * loss_scale
+        gen_last = gen[:, -n_out_channels:]
+        tar_last = tar[:, -n_out_channels:]
+        return {"loss": loss, "rmse": weighted_rmse(gen_last, tar_last)}
+
+    repl = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(eval_fn, in_shardings=(repl, bsh), out_shardings=repl)

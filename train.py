@@ -1,0 +1,38 @@
+"""CLI entry point for training (reference ``train.py:395-415``).
+
+Usage:
+    python train.py --config=swin_73var_geo_depth12_chweight_invar \
+                    [--yaml_config PATH] [--run_num NN] [--sweep_id ID]
+
+The ``--enable_amp`` flag of the reference does not exist here: TPU training
+runs bf16 compute with fp32 parameters by default (``compute_dtype`` in the
+config), which needs no GradScaler.
+"""
+
+import argparse
+import logging
+import os
+
+from swin_v2_weather_tpu.config.yparams import YParams, default_config_path
+from swin_v2_weather_tpu.training.trainer import Trainer
+from swin_v2_weather_tpu.utils.logging_utils import config_logger
+
+config_logger()
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--run_num", default="00", type=str)
+    parser.add_argument("--yaml_config", default=default_config_path(), type=str)
+    parser.add_argument("--config", default="swin_73var_geo_depth12_chweight_invar", type=str)
+    parser.add_argument("--sweep_id", default=None, type=str)
+    args = parser.parse_args()
+
+    params = YParams(os.path.abspath(args.yaml_config), args.config, print_params=False)
+    trainer = Trainer(params, args.config, run_num=args.run_num, sweep_id=args.sweep_id)
+    trainer.build_and_launch()
+    logging.info("DONE")
+
+
+if __name__ == "__main__":
+    main()

@@ -19,3 +19,27 @@ inference  jit-compiled autoregressive rollout + ACC/RMSE scoring (replaces
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level re-exports: `from swin_v2_weather_tpu import YParams` works
+# without importing jax (and its device bootstrap) at package-import time.
+_LAZY = {
+    "YParams": ("swin_v2_weather_tpu.config.yparams", "YParams"),
+    "default_config_path": ("swin_v2_weather_tpu.config.yparams", "default_config_path"),
+    "get_model": ("swin_v2_weather_tpu.models.wrappers", "get_model"),
+    "SwinTransformerV2": ("swin_v2_weather_tpu.models.swin", "SwinTransformerV2"),
+    "Trainer": ("swin_v2_weather_tpu.training.trainer", "Trainer"),
+    "RolloutEngine": ("swin_v2_weather_tpu.inference.rollout", "RolloutEngine"),
+    "export_model": ("swin_v2_weather_tpu.inference.registry", "export_model"),
+    "load_model": ("swin_v2_weather_tpu.inference.registry", "load_model"),
+}
+
+__all__ = sorted(_LAZY)
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

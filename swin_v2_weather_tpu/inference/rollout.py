@@ -1,0 +1,121 @@
+"""Autoregressive medium-range rollout engine.
+
+The reference delegates inference/scoring to an external Earth2MIP fork
+(reference ``README.md:77-78``); this module brings it in-repo as a
+jit-compiled 6-hourly stepper:
+
+  * one compiled ``step`` advances the normalized atmospheric state by
+    ``dt`` (re-assembling the model input from [state, zenith(t), static]
+    exactly like training's preprocessor + MultiStepWrapper feedback,
+    reference ``networks/helpers.py:26-41``);
+  * the host loop streams per-step zenith channels in and per-step fields /
+    metrics out — a 14-day, 56-step rollout of the 73x720x1440 state never
+    materializes more than one step on device;
+  * zenith channels are computed host-side from real timestamps with the
+    same astronomy as the training pipeline (ops/zenith.py).
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from swin_v2_weather_tpu.data.conditioning import static_features
+from swin_v2_weather_tpu.ops.zenith import cos_zenith_angle
+
+
+class RolloutEngine:
+    """Jit-compiled autoregressive forecaster.
+
+    Args:
+      params: config (needs img_size/img_shape, add_zenith/orography/
+        landmask, dt, in/out channel lists, time-step hours).
+      model: the *core* single-step model (SwinTransformerV2 or a
+        SingleStepWrapper; multi-step wrappers are for training).
+      variables: flax variables dict {'params': ...}.
+    """
+
+    def __init__(self, params, model, variables):
+        self.params = params
+        self.model = model
+        self.variables = variables
+        self.h = int(getattr(params, "img_shape_x", params.img_size[0]))
+        self.w = int(getattr(params, "img_shape_y", params.img_size[1]))
+        self.dt = int(params.dt)
+        self.hours_per_step = 6 * self.dt
+        self.add_zenith = bool(params.add_zenith)
+        self.n_out = len(params.out_channels)
+
+        static = static_features(params)
+        self._static = None
+        if static is not None:
+            self._static = jnp.asarray(static[None], jnp.float32)
+
+        if self.add_zenith:
+            longitude = np.arange(0, 360, 360.0 / self.w)
+            latitude = np.linspace(90, -90, self.h) if self.h % 2 else np.linspace(
+                90, -90, self.h + 1
+            )[: self.h]
+            self.lon_grid, self.lat_grid = np.meshgrid(longitude, latitude)
+
+        @jax.jit
+        def _step(variables, state, zen):
+            parts = [state]
+            if zen is not None:
+                parts.append(zen)
+            if self._static is not None:
+                b = state.shape[0]
+                parts.append(jnp.broadcast_to(self._static, (b,) + self._static.shape[1:]))
+            inp = jnp.concatenate(parts, axis=1) if len(parts) > 1 else state
+            pred = self.model.apply(variables, inp, train=False)
+            return pred.astype(jnp.float32)
+
+        self._step = _step
+
+    def zenith_at(self, when: datetime.datetime) -> np.ndarray:
+        """[1, 1, H, W] cos-zenith channel for a timestamp."""
+        z = cos_zenith_angle(when, self.lon_grid, self.lat_grid).astype(np.float32)
+        return z[None, None, : self.h, : self.w]
+
+    def steps(
+        self,
+        initial_state: jnp.ndarray,  # [B, C_out, H, W], normalized
+        start_time: Optional[datetime.datetime],
+        n_steps: int,
+    ) -> Iterator[jnp.ndarray]:
+        """Yield normalized predictions step by step ([B, C_out, H, W]).
+
+        The prediction at yield i is valid at start_time + (i+1)*dt*6h.
+        """
+        state = jnp.asarray(initial_state, jnp.float32)
+        b = state.shape[0]
+        when = start_time
+        for _ in range(n_steps):
+            zen = None
+            if self.add_zenith:
+                if when is None:
+                    raise ValueError("start_time is required when add_zenith is set")
+                zen = jnp.asarray(np.broadcast_to(self.zenith_at(when), (b, 1, self.h, self.w)))
+            state = self._step(self.variables, state, zen)
+            yield state
+            if when is not None:
+                when = when + datetime.timedelta(hours=self.hours_per_step)
+
+    def rollout(
+        self,
+        initial_state: jnp.ndarray,
+        start_time: Optional[datetime.datetime],
+        n_steps: int,
+        keep_channels: Optional[Sequence[int]] = None,
+    ) -> np.ndarray:
+        """Full rollout to host: [T, B, C', H, W] (C' = kept channels)."""
+        out: List[np.ndarray] = []
+        for pred in self.steps(initial_state, start_time, n_steps):
+            if keep_channels is not None:
+                pred = pred[:, np.asarray(keep_channels)]
+            out.append(np.asarray(pred))
+        return np.stack(out)

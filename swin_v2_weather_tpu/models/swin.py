@@ -243,6 +243,7 @@ class WindowAttention(nn.Module):
     drop_proj: float = 0.0
     dtype: Any = None
     attn_impl: str = "xla"  # 'xla' | 'pallas'
+    window_grid: Optional[Tuple[int, int]] = None  # (rows, cols) of windows
 
     @nn.compact
     def __call__(
@@ -367,6 +368,7 @@ class SwinBlock(nn.Module):
             drop_proj=self.proj_drop,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            window_grid=(self.feat_size[0] // window[0], self.feat_size[1] // window[1]),
             name="attn",
         )(y, mask=mask, deterministic=deterministic)
         y = window_reverse(y.reshape(-1, window[0], window[1], c), window, self.feat_size)

@@ -134,7 +134,7 @@ def _make_kernel(seq_len: int, seq_pad: int, n_window_rows: int, has_bias: bool,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [TG, Lp, Lp]
-        s = s * scale_ref[0, 0]
+        s = s * scale_ref[pl.program_id(1), 0]
         if bias_ref is not None:
             s = s + bias_ref[0]
         if mask_ref is not None:
@@ -178,7 +178,7 @@ def _pallas_forward(q, k, v, scale, bias, mask_pattern, window_grid, interpret):
         (nww, 1, lp, d), lambda i, h: (i, h, 0, 0), memory_space=pltpu.VMEM
     )
     in_specs = [
-        pl.BlockSpec((1, 1), lambda i, h: (h, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((heads, 1), lambda i, h: (0, 0), memory_space=pltpu.SMEM),
         qkv_spec,
         qkv_spec,
         qkv_spec,

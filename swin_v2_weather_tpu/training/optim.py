@@ -31,7 +31,7 @@ def build_optimizer(params) -> optax.GradientTransformation:
         make = lambda learning_rate: optax.adam(learning_rate, b1=0.9, b2=0.95)
     elif opt_type in ("FusedLAMB", "lamb"):
         make = lambda learning_rate: optax.chain(
-            optax.clip_by_global_norm(float(getattr(params, "max_grad_norm", 5.0))),
+            optax.clip_by_global_norm(float(getattr(params, "max_grad_norm", None) or 5.0)),
             optax.lamb(learning_rate),
         )
     else:

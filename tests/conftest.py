@@ -32,3 +32,10 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)
+
+
+@pytest.fixture
+def mesh8():
+    from swin_v2_weather_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(None, devices=jax.devices()[:8])

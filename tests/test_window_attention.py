@@ -1,0 +1,112 @@
+"""Fused window attention: pallas (interpret on CPU) vs the XLA reference
+path, including bias, the boundary-row mask and gradients; and the model's
+pallas/xla end-to-end equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swin_v2_weather_tpu.models.swin import SwinTransformerV2, make_shift_mask
+from swin_v2_weather_tpu.ops.window_attention import (
+    fused_window_attention,
+    reference_attention,
+)
+
+B, NWH, NWW, HEADS, L, D = 2, 3, 4, 2, 12, 16
+BW = B * NWH * NWW
+
+
+@pytest.fixture
+def qkv(rng):
+    q = jnp.asarray(rng.standard_normal((BW, HEADS, L, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((BW, HEADS, L, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((BW, HEADS, L, D)), jnp.float32)
+    scale = jnp.asarray(np.exp(rng.standard_normal(HEADS) * 0.1 + 1.0), jnp.float32)
+    return q, k, v, scale
+
+
+def pattern():
+    # feat (9, 16), window (3, 4), shift (1, 2): boundary row pattern
+    return make_shift_mask((9, 16), (3, 4), (1, 2))[-1]
+
+
+class TestMaskStructure:
+    def test_only_last_row_masked(self):
+        mask = make_shift_mask((9, 16), (3, 4), (1, 2))
+        nww = 16 // 4
+        assert np.abs(mask[:-nww]).max() == 0.0
+        for w in range(nww):
+            np.testing.assert_array_equal(mask[-nww + w], mask[-1])
+
+
+class TestForward:
+    @pytest.mark.parametrize("use_bias", [False, True])
+    @pytest.mark.parametrize("use_mask", [False, True])
+    def test_matches_reference(self, qkv, rng, use_bias, use_mask):
+        q, k, v, scale = qkv
+        bias = (
+            jnp.asarray(rng.standard_normal((HEADS, L, L)) * 0.1, jnp.float32)
+            if use_bias
+            else None
+        )
+        patt = pattern() if use_mask else None
+        out = fused_window_attention(
+            q, k, v, scale, bias=bias, mask_pattern=patt, window_grid=(NWH, NWW)
+        )
+        ref = reference_attention(q, k, v, scale, bias, patt, (NWH, NWW))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+    def test_requires_window_grid(self, qkv):
+        q, k, v, scale = qkv
+        with pytest.raises(ValueError):
+            fused_window_attention(q, k, v, scale)
+
+    def test_softmax_rows_sum_via_uniform_v(self, qkv):
+        """With v = ones the output must be exactly ones (softmax sums to 1),
+        including in masked/padded configurations."""
+        q, k, v, scale = qkv
+        out = fused_window_attention(
+            q, k, v.at[:].set(1.0), scale, mask_pattern=pattern(), window_grid=(NWH, NWW)
+        )
+        np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-2)
+
+
+class TestGradients:
+    def test_grads_match_reference(self, qkv, rng):
+        q, k, v, scale = qkv
+        bias = jnp.asarray(rng.standard_normal((HEADS, L, L)) * 0.1, jnp.float32)
+        patt = pattern()
+
+        def f(q, k, v, s, b):
+            out = fused_window_attention(
+                q, k, v, s, bias=b, mask_pattern=patt, window_grid=(NWH, NWW)
+            )
+            return jnp.sum(out * out)
+
+        def fr(q, k, v, s, b):
+            out = reference_attention(q, k, v, s, b, patt, (NWH, NWW))
+            return jnp.sum(out * out)
+
+        g = jax.grad(f, argnums=(0, 1, 2, 3, 4))(q, k, v, scale, bias)
+        gr = jax.grad(fr, argnums=(0, 1, 2, 3, 4))(q, k, v, scale, bias)
+        for a, b_ in zip(g, gr):
+            # backward IS the reference vjp; differences come only from the
+            # bf16 forward feeding the cotangent
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=6e-2)
+
+
+class TestModelParity:
+    def test_pallas_equals_xla_model(self):
+        kw = dict(
+            img_size=(24, 48), patch_size=2, in_chans=5, out_chans=4, embed_dim=32,
+            depth=2, num_heads=2, img_window_ratio=8, rel_pos=True, residual=True,
+            full_pos_embed=True, dtype=jnp.float32, scan_blocks=True,
+        )
+        x = jnp.asarray(np.random.default_rng(7).standard_normal((2, 5, 24, 48)), jnp.float32)
+        m_xla = SwinTransformerV2(**kw, attn_impl="xla")
+        m_pal = SwinTransformerV2(**kw, attn_impl="pallas")
+        params = m_xla.init(jax.random.key(0), x)
+        y_xla = m_xla.apply(params, x)
+        y_pal = m_pal.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y_xla), np.asarray(y_pal), atol=5e-2)

@@ -78,6 +78,24 @@ class Era5Dataset:
 
         self._scan_files()
 
+        # native pread fast path (DALI replacement; data/native/): fuses
+        # channel gather + crop + normalization, no h5py/GIL in the hot loop
+        self._native = None
+        want_native = getattr(params, "use_native_loader", "auto")
+        if want_native in ("auto", True, "true", 1):
+            try:
+                from swin_v2_weather_tpu.data.native.reader import NativeEra5Reader
+
+                self._native = NativeEra5Reader(
+                    self.files_paths,
+                    n_threads=int(getattr(params, "native_io_threads", 4) or 4),
+                )
+                logger.info("using native pread reader for %s", self.location)
+            except Exception as e:  # chunked files, no compiler, ...
+                if want_native not in ("auto",):
+                    raise
+                logger.info("native reader unavailable (%s); using h5py", e)
+
         if self.add_zenith:
             # ERA5 grid: lon 0..359.75, lat +90..-90 (north first)
             longitude = np.arange(0, 360, 360.0 / self.data_shape[1])
@@ -165,19 +183,33 @@ class Era5Dataset:
 
     def __getitem__(self, global_idx: int):
         year_idx, local_idx = self.locate(int(global_idx))
-        ds = self._handle(year_idx)
         step = self.dt
         sx, sy = self.img_shape
 
-        inp = ds[local_idx, self._select(self.in_channels), 0:sx, 0:sy].astype(np.float32)
-        tar = ds[
-            (local_idx + step) : (local_idx + step * (self.n_future + 1) + 1) : step,
-            self._select(self.out_channels), 0:sx, 0:sy,
-        ].astype(np.float32)
-
-        if self.normalize:
-            inp = (inp - self.means[:, :1, :1]) / self.stds[:, :1, :1]
-            tar = (tar - self.out_means[None, :, :1, :1]) / self.out_stds[None, :, :1, :1]
+        if self._native is not None:
+            in_stats = (self.means[:, 0, 0], self.stds[:, 0, 0]) if self.normalize else (None, None)
+            out_stats = (
+                (self.out_means[:, 0, 0], self.out_stds[:, 0, 0])
+                if self.normalize
+                else (None, None)
+            )
+            inp = self._native.read(
+                year_idx, local_idx, self.in_channels, (sx, sy), *in_stats
+            )
+            tar = self._native.read_frames(
+                year_idx, local_idx + step, step, self.n_future + 1,
+                self.out_channels, (sx, sy), *out_stats,
+            )
+        else:
+            ds = self._handle(year_idx)
+            inp = ds[local_idx, self._select(self.in_channels), 0:sx, 0:sy].astype(np.float32)
+            tar = ds[
+                (local_idx + step) : (local_idx + step * (self.n_future + 1) + 1) : step,
+                self._select(self.out_channels), 0:sx, 0:sy,
+            ].astype(np.float32)
+            if self.normalize:
+                inp = (inp - self.means[:, :1, :1]) / self.stds[:, :1, :1]
+                tar = (tar - self.out_means[None, :, :1, :1]) / self.out_stds[None, :, :1, :1]
 
         # flatten time into channels (reference utils/data_loader_era5.py:171)
         tar = tar.reshape(self.n_out * (self.n_future + 1), sx, sy)

@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# Multi-host TPU pod launcher — the TPU-native counterpart of the
+# reference's Slurm stack (submit_batch.sh / export_DDP_vars.sh).
+#
+# On a TPU pod slice there is no per-GPU process spawn and no NCCL
+# rendezvous: ONE process per HOST drives all local chips, and
+# jax.distributed discovers the slice topology from the TPU runtime. This
+# script is what each host runs (e.g. via `gcloud compute tpus tpu-vm ssh
+# --worker=all --command="bash launch/train_pod.sh <config>"`).
+#
+# For generic clusters (no TPU metadata service), export the coordinator
+# explicitly before launch; parallel/mesh.py picks these up:
+#   COORDINATOR_ADDRESS=host0:8476  NPROCS=<num_hosts>  PROCESS_ID=<rank>
+
+set -euo pipefail
+
+CONFIG="${1:-swin_73var_geo_depth12_chweight_invar}"
+RUN_NUM="${2:-00}"
+REPO_DIR="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+
+# HDF5 archives are read-only and shared across hosts: no file locking
+export HDF5_USE_FILE_LOCKING=FALSE
+# bind host memory allocations for the input pipeline to local NUMA nodes
+export TPU_HOST_BOUNDS="${TPU_HOST_BOUNDS:-}"
+# persistent XLA compile cache shared across restarts of the same pod job
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$HOME/.cache/jax_xla}"
+
+cd "$REPO_DIR"
+exec python train.py --config="$CONFIG" --run_num="$RUN_NUM"

@@ -47,6 +47,7 @@ from swin_v2_weather_tpu.training.optim import (
 from swin_v2_weather_tpu.training.step import TrainState, build_eval_step, build_train_step
 from swin_v2_weather_tpu.utils.logging_utils import log_to_file, log_versions
 from swin_v2_weather_tpu.utils.metrics_sink import MetricsSink
+from swin_v2_weather_tpu.utils.profiling import StepProfiler, StepTimer
 
 logger = logging.getLogger(__name__)
 
@@ -194,6 +195,9 @@ class Trainer:
             ),
         )
 
+        self.profiler = StepProfiler(params, exp_dir, enabled=self.is_chief)
+        self.step_timer = StepTimer()
+
         if self.log_to_screen:
             logger.info("Number of parameters = %d", self.count_parameters())
             logger.info(
@@ -243,6 +247,7 @@ class Trainer:
                     "Train loss: %s. Valid loss: %s",
                     train_logs["loss"], valid_logs["valid_loss"],
                 )
+        self.profiler.close()
         self.sink.close()
 
     def train_one_epoch(self, epoch: int):
@@ -255,11 +260,14 @@ class Trainer:
             iter(self.train_loader), self.mesh,
             depth=int(getattr(self.params, "prefetch_depth", 2)),
         ):
+            self.step_timer.tick()
+            self.profiler.step(int(self.state.step))
             self.state, loss = self.train_step(self.state, batch, step_rng)
             losses.append(loss)  # device array; fetched lazily below
         # one host sync per epoch
         losses = [float(l) for l in losses]
-        return time.time() - tr_start, {"loss": float(np.mean(losses))}
+        logs = {"loss": float(np.mean(losses)), **self.step_timer.reset()}
+        return time.time() - tr_start, logs
 
     def validate_one_epoch(self):
         valid_start = time.time()

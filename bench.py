@@ -18,6 +18,7 @@ and remat are picked to fit a single chip's HBM.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -27,6 +28,12 @@ A100_SINGLE_STEP_BASELINE = 1.0  # samples/s/GPU, derived in BASELINE.md
 
 def main():
     import jax
+
+    # persistent XLA compile cache: repeat bench runs skip the ~3-min compile
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_xla_cache"),
+    )
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_params

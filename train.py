@@ -30,7 +30,24 @@ def main():
 
     params = YParams(os.path.abspath(args.yaml_config), args.config, print_params=False)
     trainer = Trainer(params, args.config, run_num=args.run_num, sweep_id=args.sweep_id)
-    trainer.build_and_launch()
+
+    if args.sweep_id and trainer.is_chief:
+        # HPO sweep: the wandb agent mutates params before each trial
+        # (reference train.py:407-408); multi-host broadcast of the mutated
+        # params happens inside Trainer.build via the metrics sink config.
+        try:
+            import wandb
+        except ImportError as e:
+            raise SystemExit("--sweep_id requires wandb, which is not installed") from e
+        wandb.agent(
+            args.sweep_id,
+            function=trainer.build_and_launch,
+            count=1,
+            entity=params.get("entity"),
+            project=params.get("project"),
+        )
+    else:
+        trainer.build_and_launch()
     logging.info("DONE")
 
 

@@ -171,6 +171,34 @@ def calc_window_shift(
 # ---------------------------------------------------------------------------
 
 
+class FusedLayerNorm(nn.Module):
+    """LayerNorm with fp32 stats; optionally the fused Pallas kernel.
+
+    Parameter names/shapes match ``nn.LayerNorm`` so checkpoints are
+    interchangeable between the fused and XLA paths.
+    """
+
+    epsilon: float = 1e-5
+    scale_init: Callable = nn.initializers.ones
+    use_fused: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if self.use_fused:
+            from swin_v2_weather_tpu.ops.layernorm import fused_layernorm
+
+            return fused_layernorm(x, scale, bias, self.epsilon)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        xc = xf - mean
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        y = xc * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y.astype(x.dtype)
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth (timm DropPath semantics); the rate may be
     a traced scalar (it rides along the block-pair scan)."""
@@ -248,16 +276,14 @@ class WindowAttention(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jnp.ndarray,  # [Bw, L, C]
+        x: jnp.ndarray,  # [Bw, L, C] windowed, or [B, H, W, C] grid mode
         mask: Optional[np.ndarray] = None,  # [nW, L, L] static or None
         deterministic: bool = True,
+        grid_input: bool = False,
     ) -> jnp.ndarray:
-        bw, l, c = x.shape
+        c = x.shape[-1]
         hd = c // self.num_heads
-
-        qkv = _dense(3 * c, c, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(bw, l, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        l = self.window_size[0] * self.window_size[1]
 
         # per-head learnable logit scale, init log(10), clamped at log(100)
         logit_scale = self.param(
@@ -273,41 +299,59 @@ class WindowAttention(nn.Module):
             )  # [L*L, heads]
             bias = cpb.transpose(1, 0).reshape(self.num_heads, l, l)
 
-        use_pallas = self.attn_impl == "pallas" and not (
-            self.drop_attn > 0.0 and not deterministic
-        )
-        if use_pallas:
-            from swin_v2_weather_tpu.ops.window_attention import fused_window_attention
+        qkv = _dense(3 * c, c, dtype=self.dtype, name="qkv")(x)
 
-            # the [nW, L, L] mask collapses to one boundary-row pattern
-            # (latitude-only masking; see ops/window_attention.py docstring)
+        if grid_input:
+            # grid-layout fused kernel: windowing happens inside the kernel
+            # via BlockSpec indexing — no partition/head-split transposes
+            from swin_v2_weather_tpu.ops.window_attention import (
+                fused_window_attention_grid,
+            )
+
             pattern = mask[-1] if mask is not None else None
-            out = fused_window_attention(
-                q, k, v, scale, bias=bias, mask_pattern=pattern,
-                window_grid=self.window_grid,
+            q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
+            out = fused_window_attention_grid(
+                q, k, v, scale, self.window_size, bias=bias, mask_pattern=pattern
             )
         else:
-            # cosine similarity attention in fp32
-            qf = q.astype(jnp.float32)
-            kf = k.astype(jnp.float32)
-            qf = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
-            kf = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True), 1e-12)
-            attn = jnp.einsum("bhld,bhmd->bhlm", qf, kf)
-            attn = attn * scale[None, :, None, None]
-            if bias is not None:
-                attn = attn + bias[None].astype(attn.dtype)
-            if mask is not None:
-                nw = mask.shape[0]
-                attn = attn.reshape(bw // nw, nw, self.num_heads, l, l)
-                attn = attn + jnp.asarray(mask)[None, :, None, :, :]
-                attn = attn.reshape(bw, self.num_heads, l, l)
-            attn = jax.nn.softmax(attn, axis=-1)
-            attn = nn.Dropout(self.drop_attn)(attn, deterministic=deterministic)
-            out = jnp.einsum(
-                "bhlm,bhmd->bhld", attn.astype(v.dtype), v
-            )
+            bw = x.shape[0]
+            qkv = qkv.reshape(bw, l, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
 
-        out = out.transpose(0, 2, 1, 3).reshape(bw, l, c)
+            if self.attn_impl in ("pallas", "pallas_v1") and not (
+                self.drop_attn > 0.0 and not deterministic
+            ):
+                from swin_v2_weather_tpu.ops.window_attention import fused_window_attention
+
+                # the [nW, L, L] mask collapses to one boundary-row pattern
+                # (latitude-only masking; see ops/window_attention.py docstring)
+                pattern = mask[-1] if mask is not None else None
+                out = fused_window_attention(
+                    q, k, v, scale, bias=bias, mask_pattern=pattern,
+                    window_grid=self.window_grid,
+                )
+            else:
+                # cosine similarity attention in fp32
+                qf = q.astype(jnp.float32)
+                kf = k.astype(jnp.float32)
+                qf = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
+                kf = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True), 1e-12)
+                attn = jnp.einsum("bhld,bhmd->bhlm", qf, kf)
+                attn = attn * scale[None, :, None, None]
+                if bias is not None:
+                    attn = attn + bias[None].astype(attn.dtype)
+                if mask is not None:
+                    nw = mask.shape[0]
+                    attn = attn.reshape(bw // nw, nw, self.num_heads, l, l)
+                    attn = attn + jnp.asarray(mask)[None, :, None, :, :]
+                    attn = attn.reshape(bw, self.num_heads, l, l)
+                attn = jax.nn.softmax(attn, axis=-1)
+                attn = nn.Dropout(self.drop_attn)(attn, deterministic=deterministic)
+                out = jnp.einsum(
+                    "bhlm,bhmd->bhld", attn.astype(v.dtype), v
+                )
+            out = out.transpose(0, 2, 1, 3).reshape(bw, l, c)
+
         out = _dense(c, c, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.drop_proj)(out, deterministic=deterministic)
         return out
@@ -335,6 +379,7 @@ class SwinBlock(nn.Module):
     rel_pos: bool = False
     dtype: Any = None
     attn_impl: str = "xla"
+    ln_impl: str = "xla"
     deterministic: bool = True
 
     def _norm(self, name: str):
@@ -343,8 +388,12 @@ class SwinBlock(nn.Module):
             if self.init_values is not None
             else nn.initializers.ones
         )
-        # LayerNorm statistics in fp32 regardless of compute dtype
-        return nn.LayerNorm(epsilon=1e-5, scale_init=scale_init, name=name, dtype=jnp.float32)
+        # LayerNorm statistics in fp32 regardless of compute dtype; fused
+        # single-pass Pallas kernel on the pallas path
+        return FusedLayerNorm(
+            epsilon=1e-5, scale_init=scale_init, name=name,
+            use_fused=self.ln_impl == "pallas",
+        )
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, drop_path_rate) -> jnp.ndarray:
@@ -354,12 +403,14 @@ class SwinBlock(nn.Module):
         do_shift = self.shifted and any(shift)
 
         # ---- attention branch (op -> norm -> drop-path -> residual add) ----
-        y = x
-        if do_shift:
-            y = jnp.roll(y, shift=(-shift[0], -shift[1]), axis=(1, 2))
-        y = window_partition(y, window).reshape(-1, window[0] * window[1], c)
+        # grid mode (default on TPU): the fused kernel windows via BlockSpec
+        # indexing, so only the cyclic roll touches HBM layout; the roll
+        # commutes with the linear qkv projection (roll(qkv(x)) == qkv(roll(x)))
+        use_grid = self.attn_impl == "pallas" and not (
+            self.drop_attn > 0.0 and not deterministic
+        )
         mask = make_shift_mask(self.feat_size, window, shift) if do_shift else None
-        y = WindowAttention(
+        attn = WindowAttention(
             dim=c,
             num_heads=self.num_heads,
             window_size=window,
@@ -370,8 +421,16 @@ class SwinBlock(nn.Module):
             attn_impl=self.attn_impl,
             window_grid=(self.feat_size[0] // window[0], self.feat_size[1] // window[1]),
             name="attn",
-        )(y, mask=mask, deterministic=deterministic)
-        y = window_reverse(y.reshape(-1, window[0], window[1], c), window, self.feat_size)
+        )
+        y = x
+        if do_shift:
+            y = jnp.roll(y, shift=(-shift[0], -shift[1]), axis=(1, 2))
+        if use_grid:
+            y = attn(y, mask=mask, deterministic=deterministic, grid_input=True)
+        else:
+            y = window_partition(y, window).reshape(-1, window[0] * window[1], c)
+            y = attn(y, mask=mask, deterministic=deterministic)
+            y = window_reverse(y.reshape(-1, window[0], window[1], c), window, self.feat_size)
         if do_shift:
             y = jnp.roll(y, shift=(shift[0], shift[1]), axis=(1, 2))
         y = self._norm("norm1")(y).astype(x.dtype)
@@ -410,6 +469,7 @@ class BlockPair(nn.Module):
     rel_pos: bool
     dtype: Any
     attn_impl: str
+    ln_impl: str
     deterministic: bool
 
     @nn.compact
@@ -428,6 +488,7 @@ class BlockPair(nn.Module):
             rel_pos=self.rel_pos,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            ln_impl=self.ln_impl,
             deterministic=self.deterministic,
         )
         x = SwinBlock(**common, shifted=False, name="block0")(x, dpr_pair[0])
@@ -467,6 +528,7 @@ class PatchEmbed(nn.Module):
     in_chans: int
     embed_dim: int
     dtype: Any = None
+    use_fused_ln: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, H, W, C]
@@ -475,7 +537,7 @@ class PatchEmbed(nn.Module):
         x = x.reshape(b, h // p, p, w // p, p, c).transpose(0, 1, 3, 2, 4, 5)
         x = x.reshape(b, h // p, w // p, p * p * c)
         x = _dense(self.embed_dim, p * p * c, dtype=self.dtype, name="proj")(x)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(x.dtype)
+        x = FusedLayerNorm(epsilon=1e-5, name="norm", use_fused=self.use_fused_ln)(x)
         return x
 
 
@@ -513,11 +575,25 @@ class SwinTransformerV2(nn.Module):
     scan_blocks: bool = True
     dtype: Any = jnp.bfloat16  # compute dtype; params are fp32
     attn_impl: str = "xla"
+    ln_impl: str = "xla"  # 'pallas' = fused single-pass LayerNorm kernel
 
     def _window(self) -> Tuple[int, int]:
         if self.window_size is not None:
             return tuple(self.window_size)
         return tuple(s // self.img_window_ratio for s in self.img_size)
+
+    def with_input_size(self, img_size: Tuple[int, int], window_ratio: Optional[int] = None):
+        """Clone configured for a new resolution (reference
+        ``update_input_size``, ``networks/swinv2_global.py:805-832``).
+
+        Masks and window geometry are derived at trace time here, so a new
+        resolution only needs a re-jit — no buffer surgery. Parameters carry
+        over unchanged except ``pos_embed`` when ``full_pos_embed`` is set
+        (it is resolution-shaped, as in the reference)."""
+        return self.copy(
+            img_size=tuple(img_size),
+            img_window_ratio=int(window_ratio or self.img_window_ratio),
+        )
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -534,7 +610,8 @@ class SwinTransformerV2(nn.Module):
 
         x = PatchEmbed(
             patch_size=p, in_chans=self.in_chans, embed_dim=self.embed_dim,
-            dtype=self.dtype, name="patch_embed",
+            dtype=self.dtype, use_fused_ln=self.ln_impl == "pallas",
+            name="patch_embed",
         )(x)
 
         if self.full_pos_embed:
@@ -562,6 +639,7 @@ class SwinTransformerV2(nn.Module):
             rel_pos=self.rel_pos,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            ln_impl=self.ln_impl,
             deterministic=deterministic,
         )
 
@@ -598,6 +676,7 @@ class SwinTransformerV2(nn.Module):
                     rel_pos=self.rel_pos,
                     dtype=self.dtype,
                     attn_impl=self.attn_impl,
+                    ln_impl=self.ln_impl,
                     deterministic=deterministic,
                     name=f"block{i}",
                 )(x, jnp.float32(dpr[i]))
@@ -642,4 +721,5 @@ def build_swin_from_params(params, dtype=None) -> SwinTransformerV2:
         scan_blocks=bool(getattr(params, "scan_blocks", True)),
         dtype=dtype,
         attn_impl=str(getattr(params, "attn_impl", "xla")),
+        ln_impl=str(getattr(params, "ln_impl", "xla")),
     )

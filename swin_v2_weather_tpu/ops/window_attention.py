@@ -24,12 +24,25 @@ and written once each way. This kernel keeps the logits in VMEM:
     key columns are masked with -1e30 before the softmax, padded query rows
     are sliced off by the wrapper.
 
-The backward pass is a recompute-based custom VJP: the forward saves only
-(q, k, v, scale, bias) and the gradient is taken through a pure-XLA
-reference implementation of the same math (numerically identical fp32
-softmax). This matches the activation-checkpoint behavior the reference
-uses for its big configs — nothing materialized between forward and
-backward — while a handwritten Pallas backward remains a drop-in upgrade.
+Two generations of the kernel live here:
+
+  * **v1** (``fused_window_attention``): consumes pre-windowed
+    ``[B*nW, heads, L, D]`` tensors; backward recomputes through a pure-XLA
+    reference implementation.
+  * **v2** (``fused_window_attention_grid``) — the production path: consumes
+    q/k/v in the model's natural NHWC grid layout ``[B, H, W, C]`` and does
+    the windowing *inside* the kernel via BlockSpec indexing, eliminating
+    the window-partition / head-split / window-reverse HBM transposes that
+    cost more than the attention math itself at flagship size. Heads are
+    processed in groups sized so the block's lane width is a multiple of 128
+    (4 heads x 96 = 384 for the flagship). The cyclic shift commutes with
+    the linear qkv projection, so shifted blocks roll the qkv tensor once.
+    q/k L2-normalization (and its vjp) stays in XLA — elementwise work the
+    compiler fuses, expressed with layout-preserving head-segment matmuls.
+    The bias-free backward (all flagship configs) is a handwritten Pallas
+    kernel that recomputes the softmax in VMEM and emits dqn/dkn/dv plus
+    per-step d(scale) partials; the rel-pos (bias) case falls back to an
+    XLA recompute VJP.
 
 Dropout on attention probabilities is not fused; callers fall back to the
 XLA path when ``attn_drop > 0`` in training (the flagship configs train with
@@ -266,6 +279,489 @@ def _build(nwh: int, nww: int, has_bias: bool, pattern_key, interpret: bool):
 
     fused4.defvjp(fused4_fwd, fused4_bwd)
     return fused4
+
+
+# ---------------------------------------------------------------------------
+# v2: grid-layout kernel — windowing via BlockSpec indexing, zero layout
+# transforms in HBM
+# ---------------------------------------------------------------------------
+#
+# The v1 kernel (above) consumes [B*nW, heads, L, D], which obliges the model
+# to materialize window-partition + head-split transposes in HBM (~6 ms per
+# block at flagship size, more than the attention math itself). v2 takes
+# q/k/v in the model's natural NHWC grid layout [B, H, W, C]: each grid step
+# DMAs one (window row x W-chunk x head) slab directly and rearranges it into
+# windows inside VMEM. The cyclic shift commutes with the linear qkv
+# projection, so shifted blocks just roll the qkv tensor once.
+
+
+def _pick_wc(w: int, ww: int, nww: int, budget_windows: int) -> int:
+    """Largest W-chunk (pixels) that is a whole number of windows, divides
+    the row evenly, honors Mosaic's second-to-last-dim tiling rule
+    (divisible by 8, or the full row), and stays under the window budget."""
+    valid = [
+        nc for nc in range(1, nww + 1)
+        if nww % nc == 0 and (nc * ww == w or (nc * ww) % 8 == 0)
+    ]
+    under = [nc for nc in valid if nc <= budget_windows]
+    nc = max(under) if under else min(valid)
+    return nc * ww
+
+
+def _head_group(heads: int, hd: int) -> int:
+    """Heads per grid step: the smallest divisor g of `heads` whose combined
+    lane width g*hd satisfies Mosaic's last-dim rule (multiple of 128), or
+    all heads (full channel dim, always allowed)."""
+    for g in range(1, heads + 1):
+        if heads % g == 0 and (g * hd) % 128 == 0:
+            return g
+    return heads
+
+
+def _make_grid_kernel(wh: int, ww: int, nc: int, group: int, n_window_rows: int,
+                      has_bias: bool, has_mask: bool):
+    l = wh * ww
+
+    def kernel(*refs):
+        i = 0
+        scale_ref = refs[i]; i += 1
+        q_ref = refs[i]; i += 1
+        k_ref = refs[i]; i += 1
+        v_ref = refs[i]; i += 1
+        bias_ref = refs[i] if has_bias else None; i += has_bias
+        mask_ref = refs[i] if has_mask else None; i += has_mask
+        out_ref = refs[i]
+
+        gc = q_ref.shape[-1]  # group * hd
+        hd = gc // group
+        hg = pl.program_id(3)
+
+        def to_windows(ref):
+            # [1, WH, nc*WW, gc] -> [nc, L, gc]
+            x = ref[0]
+            x = x.reshape(wh, nc, ww, gc)
+            x = x.transpose(1, 0, 2, 3)
+            return x.reshape(nc, l, gc)
+
+        q_all = to_windows(q_ref)
+        k_all = to_windows(k_ref)
+        v_all = to_windows(v_ref)
+
+        if has_mask:
+            row = pl.program_id(1)
+            on_boundary = (row == n_window_rows - 1).astype(jnp.float32)
+            mask_add = on_boundary * mask_ref[:, :]
+
+        for j in range(group):  # static unroll over the head group
+            sl = slice(j * hd, (j + 1) * hd)
+            # q/k arrive L2-normalized (the cheap elementwise normalization
+            # and its vjp live in XLA; see fused_window_attention_grid)
+            q = q_all[:, :, sl]
+            k = k_all[:, :, sl]
+            v = v_all[:, :, sl]
+            s = jax.lax.dot_general(
+                q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [nc, L, L]
+            s = s * scale_ref[hg * group + j, 0]
+            if bias_ref is not None:
+                s = s + bias_ref[j]
+            if has_mask:
+                s = s + mask_add
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            out_h = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [nc, L, hd]
+            # write this head's slab slice immediately so its temporaries die
+            out_h = out_h.reshape(nc, wh, ww, hd).transpose(1, 0, 2, 3)
+            out_ref[0, :, :, sl] = out_h.reshape(wh, nc * ww, hd).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _grid_forward(q, k, v, scale, bias, mask_pattern, window, interpret,
+                  w_chunk_windows: int = 8):
+    b, h, w, c = q.shape
+    wh, ww = window
+    nwh, nww = h // wh, w // ww
+    heads = scale.shape[0]
+    hd = c // heads
+    l = wh * ww
+    wc = _pick_wc(w, ww, nww, w_chunk_windows)
+    nc = wc // ww
+    group = _head_group(heads, hd)
+    has_bias = bias is not None
+    has_mask = mask_pattern is not None
+
+    grid = (b, nwh, nww // nc, heads // group)
+    qkv_spec = pl.BlockSpec(
+        (1, wh, wc, group * hd), lambda bi, r, wcix, hg: (bi, r, wcix, hg),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        pl.BlockSpec((heads, 1), lambda bi, r, wcix, hg: (0, 0), memory_space=pltpu.SMEM),
+        qkv_spec, qkv_spec, qkv_spec,
+    ]
+    args = [scale.astype(jnp.float32).reshape(heads, 1), q, k, v]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((group, l, l), lambda bi, r, wcix, hg: (hg, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(bias.astype(jnp.float32))
+    if has_mask:
+        in_specs.append(
+            pl.BlockSpec((l, l), lambda bi, r, wcix, hg: (0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(jnp.asarray(np.asarray(mask_pattern, np.float32)))
+
+    kernel = _make_grid_kernel(wh, ww, nc, group, nwh, has_bias, has_mask)
+    flops = 2 * 2 * l * l * hd * heads * nc * (b * nwh * (nww // nc))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), v.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * b * h * w * c * q.dtype.itemsize,
+            transcendentals=b * nwh * nww * heads * l * l,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
+def _make_grid_bwd_kernel(wh: int, ww: int, nc: int, group: int,
+                          n_window_rows: int, has_mask: bool):
+    """Backward for the bias-free grid kernel.
+
+    Recomputes each window's softmax in VMEM and emits dq/dk/dv in grid
+    layout plus a per-step, per-head partial of d(scale) (padded to an
+    (8, 128) tile; the wrapper reduces it). Six MXU matmuls per head per
+    step — the classic flash-attention backward shape.
+    """
+    l = wh * ww
+
+    def kernel(*refs):
+        i = 0
+        scale_ref = refs[i]; i += 1
+        q_ref = refs[i]; i += 1
+        k_ref = refs[i]; i += 1
+        v_ref = refs[i]; i += 1
+        g_ref = refs[i]; i += 1
+        mask_ref = refs[i] if has_mask else None; i += has_mask
+        dq_ref = refs[i]; i += 1
+        dk_ref = refs[i]; i += 1
+        dv_ref = refs[i]; i += 1
+        dscale_ref = refs[i]
+
+        gc = q_ref.shape[-1]  # group * hd
+        hd = gc // group
+        hg = pl.program_id(3)
+
+        def to_windows(ref):
+            x = ref[0]
+            x = x.reshape(wh, nc, ww, gc)
+            return x.transpose(1, 0, 2, 3).reshape(nc, l, gc)
+
+        q_all = to_windows(q_ref)
+        k_all = to_windows(k_ref)
+        v_all = to_windows(v_ref)
+        g_all = to_windows(g_ref)
+
+        if has_mask:
+            row = pl.program_id(1)
+            on_boundary = (row == n_window_rows - 1).astype(jnp.float32)
+            mask_add = on_boundary * mask_ref[:, :]
+
+        dscales = []
+        for j in range(group):  # static unroll over the head group
+            sl = slice(j * hd, (j + 1) * hd)
+            qn = q_all[:, :, sl]
+            kn = k_all[:, :, sl]
+            v = v_all[:, :, sl]
+            g = g_all[:, :, sl]
+
+            scale = scale_ref[hg * group + j, 0]
+            s_pre = jax.lax.dot_general(
+                qn.astype(jnp.bfloat16), kn.astype(jnp.bfloat16),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            s = s_pre * scale
+            if has_mask:
+                s = s + mask_add
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)  # [nc, L, L] fp32
+
+            p16 = p.astype(jnp.bfloat16)
+            g16 = g.astype(jnp.bfloat16)
+            # dv = p^T g
+            dv = jax.lax.dot_general(
+                p16, g16,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            # dp = g v^T
+            dp = jax.lax.dot_general(
+                g16, v.astype(jnp.bfloat16),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # softmax vjp
+            dscales.append(jnp.sum(ds * s_pre))
+
+            dsb = (ds * scale).astype(jnp.bfloat16)
+            # dqn = ds_scaled @ kn ; dkn = ds_scaled^T @ qn
+            dqn = jax.lax.dot_general(
+                dsb, kn.astype(jnp.bfloat16),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            dkn = jax.lax.dot_general(
+                dsb, qn.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            # the L2-normalization vjp happens in XLA outside the kernel
+
+            def write(ref, x):
+                x = x.reshape(nc, wh, ww, hd).transpose(1, 0, 2, 3)
+                ref[0, :, :, sl] = x.reshape(wh, nc * ww, hd).astype(ref.dtype)
+
+            write(dq_ref, dqn)
+            write(dk_ref, dkn)
+            write(dv_ref, dv)
+
+        # place the group's dscale partials in row 0, cols 0..group-1
+        # (no scatter: pad + row mask, which Mosaic lowers natively)
+        vals = jnp.pad(jnp.stack(dscales), (0, 128 - len(dscales)))
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        dscale_ref[0] = jnp.where(row == 0, vals[None, :], 0.0)
+
+    return kernel
+
+
+def _grid_backward(q, k, v, scale, g, mask_pattern, window, interpret,
+                   w_chunk_windows: int = 4):
+    b, h, w, c = q.shape
+    wh, ww = window
+    nwh, nww = h // wh, w // ww
+    heads = scale.shape[0]
+    hd = c // heads
+    l = wh * ww
+    wc = _pick_wc(w, ww, nww, w_chunk_windows)
+    nc = wc // ww
+    group = _head_group(heads, hd)
+    hgn = heads // group
+    has_mask = mask_pattern is not None
+
+    grid = (b, nwh, nww // nc, hgn)
+    qkv_spec = pl.BlockSpec(
+        (1, wh, wc, group * hd), lambda bi, r, wcix, hg: (bi, r, wcix, hg),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        pl.BlockSpec((heads, 1), lambda bi, r, wcix, hg: (0, 0), memory_space=pltpu.SMEM),
+        qkv_spec, qkv_spec, qkv_spec, qkv_spec,
+    ]
+    args = [scale.astype(jnp.float32).reshape(heads, 1), q, k, v, g]
+    if has_mask:
+        in_specs.append(
+            pl.BlockSpec((l, l), lambda bi, r, wcix, hg: (0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(jnp.asarray(np.asarray(mask_pattern, np.float32)))
+
+    n_steps = b * nwh * (nww // nc) * hgn
+    dscale_spec = pl.BlockSpec(
+        (1, 8, 128),
+        lambda bi, r, wcix, hg: (
+            ((bi * nwh + r) * (nww // nc) + wcix) * hgn + hg, 0, 0,
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = _make_grid_bwd_kernel(wh, ww, nc, group, nwh, has_mask)
+    dq, dk, dv, dscale_part = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(qkv_spec, qkv_spec, qkv_spec, dscale_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct((n_steps, 8, 128), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * 2 * l * l * hd * heads * nc * n_steps,
+            bytes_accessed=8 * b * h * w * c * q.dtype.itemsize,
+            transcendentals=b * nwh * nww * heads * l * l,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    # step order has the head-group index fastest; slot j holds head hg*group+j
+    dscale = dscale_part[:, 0, :group].reshape(-1, hgn, group).sum(axis=0).reshape(heads)
+    return dq, dk, dv, dscale.astype(scale.dtype)
+
+
+def reference_attention_grid(q, k, v, scale, bias, mask_pattern, window):
+    """Pure-XLA oracle for the grid-layout kernel (backward recompute)."""
+    b, h, w, c = q.shape
+    wh, ww = window
+    heads = scale.shape[0]
+    hd = c // heads
+
+    def to_windows(x):
+        x = x.reshape(b, h // wh, wh, w // ww, ww, heads, hd)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6)  # [b, nwh, nww, heads, wh, ww, hd]
+        return x.reshape(b * (h // wh) * (w // ww), heads, wh * ww, hd)
+
+    out = reference_attention(
+        to_windows(q), to_windows(k), to_windows(v), scale, bias, mask_pattern,
+        (h // wh, w // ww),
+    )  # [bw, heads, l, hd]
+    nwh, nww = h // wh, w // ww
+    out = out.reshape(b, nwh, nww, heads, wh, ww, hd)
+    out = out.transpose(0, 1, 4, 2, 5, 3, 6)
+    return out.reshape(b, h, w, c)
+
+
+@functools.lru_cache(maxsize=8)
+def _head_segment_matrices(c: int, heads: int):
+    """M [c, heads] summing channels into heads; M^T broadcasting back.
+
+    Keeps per-head reductions in the native [*, C] layout: a 5D reshape to
+    [*, heads, hd] forces an expensive relayout on TPU, while these two
+    skinny matmuls ride the MXU inside the surrounding fusion.
+    """
+    hd = c // heads
+    m = np.zeros((c, heads), np.float32)
+    for i in range(c):
+        m[i, i // hd] = 1.0
+    # cache host numpy only: caching jnp arrays would capture trace-time
+    # constants and leak tracers across jit traces
+    return m, np.ascontiguousarray(m.T)
+
+
+def _normalize_heads(x, heads: int):
+    """Per-head L2 normalization in fp32, layout-preserving.
+
+    Returns (x_normalized in x.dtype, inv_norm fp32 [B, H, W, heads]).
+    """
+    c = x.shape[-1]
+    m, mt = _head_segment_matrices(c, heads)
+    m, mt = jnp.asarray(m), jnp.asarray(mt)
+    xf = x.astype(jnp.float32)
+    seg = jnp.einsum("...c,cg->...g", xf * xf, m)  # per-head sum of squares
+    inv = jax.lax.rsqrt(jnp.maximum(seg, 1e-24))
+    xn = (xf * jnp.einsum("...g,gc->...c", inv, mt)).astype(x.dtype)
+    return xn, inv
+
+
+def _normalize_vjp(xn, inv, dxn, heads: int, out_dtype):
+    """Chain rule through x/|x|: dx = (dxn - xn * <xn, dxn>_head) * inv."""
+    c = xn.shape[-1]
+    m, mt = _head_segment_matrices(c, heads)
+    m, mt = jnp.asarray(m), jnp.asarray(mt)
+    xnf = xn.astype(jnp.float32)
+    dxnf = dxn.astype(jnp.float32)
+    ip = jnp.einsum("...c,cg->...g", xnf * dxnf, m)  # per-head <xn, dxn>
+    dx = (dxnf - xnf * jnp.einsum("...g,gc->...c", ip, mt)) * jnp.einsum(
+        "...g,gc->...c", inv, mt
+    )
+    return dx.astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_grid(window, has_bias: bool, pattern_key, interpret: bool):
+    mask_pattern = None
+    if pattern_key is not None:
+        buf, shape = pattern_key
+        mask_pattern = np.frombuffer(buf, np.float32).reshape(shape)
+
+    def fwd_impl(q, k, v, scale, bias):
+        heads = scale.shape[0]
+        qn, _ = _normalize_heads(q, heads)
+        kn, _ = _normalize_heads(k, heads)
+        return _grid_forward(qn, kn, v, scale, bias, mask_pattern, window, interpret)
+
+    def ref_impl(q, k, v, scale, bias):
+        return reference_attention_grid(q, k, v, scale, bias, mask_pattern, window)
+
+    if has_bias:
+
+        @jax.custom_vjp
+        def fusedg(q, k, v, scale, bias):
+            return fwd_impl(q, k, v, scale, bias)
+
+        def fg_fwd(q, k, v, scale, bias):
+            return fwd_impl(q, k, v, scale, bias), (q, k, v, scale, bias)
+
+        def fg_bwd(res, g):
+            _, vjp = jax.vjp(ref_impl, *res)
+            return vjp(g)
+
+        fusedg.defvjp(fg_fwd, fg_bwd)
+        return fusedg
+
+    @jax.custom_vjp
+    def fusedg4(q, k, v, scale):
+        return fwd_impl(q, k, v, scale, None)
+
+    def fg4_fwd(q, k, v, scale):
+        heads = scale.shape[0]
+        qn, inv_q = _normalize_heads(q, heads)
+        kn, inv_k = _normalize_heads(k, heads)
+        out = _grid_forward(qn, kn, v, scale, None, mask_pattern, window, interpret)
+        return out, (qn, kn, v, scale, inv_q, inv_k)
+
+    def fg4_bwd(res, g):
+        # bias-free case: handwritten Pallas backward (recompute-in-VMEM),
+        # then the normalization vjp in XLA
+        qn, kn, v, scale, inv_q, inv_k = res
+        heads = scale.shape[0]
+        dqn, dkn, dv, dscale = _grid_backward(
+            qn, kn, v, scale, g, mask_pattern, window, interpret
+        )
+        # qn retains q's dtype, so the vjp output dtype matches the input's
+        dq = _normalize_vjp(qn, inv_q, dqn, heads, qn.dtype)
+        dk = _normalize_vjp(kn, inv_k, dkn, heads, kn.dtype)
+        return dq, dk, dv, dscale
+
+    fusedg4.defvjp(fg4_fwd, fg4_bwd)
+    return fusedg4
+
+
+def fused_window_attention_grid(
+    q: jnp.ndarray,  # [B, H, W, C] (already rolled for shifted blocks)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: jnp.ndarray,  # [heads]
+    window: Tuple[int, int],
+    bias: Optional[jnp.ndarray] = None,  # [heads, L, L]
+    mask_pattern: Optional[np.ndarray] = None,  # [L, L] boundary-row mask
+) -> jnp.ndarray:
+    """Grid-layout fused window attention: [B, H, W, C] -> [B, H, W, C]."""
+    wh, ww = int(window[0]), int(window[1])
+    if q.shape[1] % wh or q.shape[2] % ww:
+        raise ValueError(f"grid {q.shape[1:3]} not divisible by window {window}")
+    pattern_key = None
+    if mask_pattern is not None:
+        arr = np.ascontiguousarray(np.asarray(mask_pattern, np.float32))
+        pattern_key = (arr.tobytes(), arr.shape)
+    fn = _build_grid((wh, ww), bias is not None, pattern_key, not _on_tpu())
+    if bias is not None:
+        return fn(q, k, v, scale, bias)
+    return fn(q, k, v, scale)
 
 
 def fused_window_attention(

@@ -271,17 +271,15 @@ class Trainer:
 
     def validate_one_epoch(self):
         valid_start = time.time()
-        n_out = int(self.params["n_out_channels"])
-        loss_sum = 0.0
-        rmse_sum = np.zeros(n_out, np.float64)
-        steps = 0
+        outs = []
         for batch in device_prefetch(iter(self.valid_loader), self.mesh):
-            out = self.eval_step(self.state.params, batch)
-            loss_sum += float(out["loss"])
-            rmse_sum += np.asarray(out["rmse"], np.float64)
-            steps += 1
-        valid_rmse = rmse_sum / max(steps, 1) * np.asarray(self.valid_stds, np.float64)
-        logs = {"valid_loss": loss_sum / max(steps, 1)}
+            # keep results on device; one host sync at the end of the epoch
+            outs.append(self.eval_step(self.state.params, batch))
+        steps = max(len(outs), 1)
+        loss_sum = sum(float(o["loss"]) for o in outs)
+        rmse_sum = np.sum([np.asarray(o["rmse"], np.float64) for o in outs], axis=0)
+        valid_rmse = rmse_sum / steps * np.asarray(self.valid_stds, np.float64)
+        logs = {"valid_loss": loss_sum / steps}
 
         track = list(getattr(self.params, "track_channels", ["u10m", "v10m"]))
         names = list(self.params.channel_names)

@@ -96,6 +96,96 @@ class TestGradients:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=6e-2)
 
 
+class TestGridKernel:
+    """v2: grid-layout kernel (windowing via BlockSpec) + Pallas backward."""
+
+    @pytest.fixture
+    def grid_qkv(self, rng):
+        H, W, C = 9, 24, HEADS * D
+        q = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        scale = jnp.asarray(np.exp(rng.standard_normal(HEADS) * 0.1 + 1.0), jnp.float32)
+        return q, k, v, scale
+
+    @pytest.mark.parametrize("use_bias", [False, True])
+    @pytest.mark.parametrize("use_mask", [False, True])
+    def test_forward_matches_reference(self, grid_qkv, rng, use_bias, use_mask):
+        from swin_v2_weather_tpu.ops.window_attention import (
+            fused_window_attention_grid,
+            reference_attention_grid,
+        )
+
+        q, k, v, scale = grid_qkv
+        wh, ww = 3, 4
+        l = wh * ww
+        bias = (
+            jnp.asarray(rng.standard_normal((HEADS, l, l)) * 0.1, jnp.float32)
+            if use_bias
+            else None
+        )
+        patt = make_shift_mask((9, 24), (wh, ww), (1, 2))[-1] if use_mask else None
+        out = fused_window_attention_grid(
+            q, k, v, scale, (wh, ww), bias=bias, mask_pattern=patt
+        )
+        ref = reference_attention_grid(q, k, v, scale, bias, patt, (wh, ww))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+    def test_pallas_backward_matches_reference(self, grid_qkv):
+        """Bias-free case routes through the handwritten Pallas backward."""
+        from swin_v2_weather_tpu.ops.window_attention import (
+            fused_window_attention_grid,
+            reference_attention_grid,
+        )
+
+        q, k, v, scale = grid_qkv
+        wh, ww = 3, 4
+        patt = make_shift_mask((9, 24), (wh, ww), (1, 2))[-1]
+
+        def f(q, k, v, s):
+            out = fused_window_attention_grid(q, k, v, s, (wh, ww), mask_pattern=patt)
+            return jnp.sum(out * out)
+
+        def fr(q, k, v, s):
+            out = reference_attention_grid(q, k, v, s, None, patt, (wh, ww))
+            return jnp.sum(out * out)
+
+        g = jax.grad(f, argnums=(0, 1, 2, 3))(q, k, v, scale)
+        gr = jax.grad(fr, argnums=(0, 1, 2, 3))(q, k, v, scale)
+        for name, a, b_ in zip(("dq", "dk", "dv", "dscale"), g, gr):
+            # bf16-matmul noise only; dscale is a large global sum -> relative
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=3e-2, rtol=2e-3, err_msg=name
+            )
+
+    def test_rejects_indivisible_grid(self, grid_qkv):
+        from swin_v2_weather_tpu.ops.window_attention import fused_window_attention_grid
+
+        q, k, v, scale = grid_qkv
+        with pytest.raises(ValueError):
+            fused_window_attention_grid(q, k, v, scale, (4, 5))
+
+    def test_roll_commutes_with_qkv(self, grid_qkv):
+        """Shift equivalence: attention(roll(qkv)) == windowed attention of
+        rolled input — the identity the grid path relies on."""
+        from swin_v2_weather_tpu.ops.window_attention import (
+            fused_window_attention_grid,
+            reference_attention_grid,
+        )
+
+        q, k, v, scale = grid_qkv
+        wh, ww = 3, 4
+        sh, sw = 1, 2
+        patt = make_shift_mask((9, 24), (wh, ww), (sh, sw))[-1]
+        rolled = [jnp.roll(t, (-sh, -sw), (1, 2)) for t in (q, k, v)]
+        out = fused_window_attention_grid(*rolled, scale, (wh, ww), mask_pattern=patt)
+        out = jnp.roll(out, (sh, sw), (1, 2))
+        ref = jnp.roll(
+            reference_attention_grid(*rolled, scale, None, patt, (wh, ww)), (sh, sw), (1, 2)
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
 class TestModelParity:
     def test_pallas_equals_xla_model(self):
         kw = dict(

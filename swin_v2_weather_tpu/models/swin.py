@@ -433,6 +433,10 @@ class SwinBlock(nn.Module):
             y = window_reverse(y.reshape(-1, window[0], window[1], c), window, self.feat_size)
         if do_shift:
             y = jnp.roll(y, shift=(shift[0], shift[1]), axis=(1, 2))
+        # named checkpoint: with remat_policy='attn' the backward pass keeps
+        # this tensor instead of re-running the attention branch
+        from jax.ad_checkpoint import checkpoint_name
+        y = checkpoint_name(y, "attn_out")
         y = self._norm("norm1")(y).astype(x.dtype)
         x = x + DropPath(name="drop_path1")(y, drop_path_rate, deterministic)
 
@@ -572,6 +576,7 @@ class SwinTransformerV2(nn.Module):
     rel_pos: bool = True
     residual: bool = False
     checkpoint_stages: bool = False  # remat each block pair
+    remat_policy: str = "full"  # 'full' | 'attn' (keep attention outputs)
     scan_blocks: bool = True
     dtype: Any = jnp.bfloat16  # compute dtype; params are fp32
     attn_impl: str = "xla"
@@ -647,7 +652,12 @@ class SwinTransformerV2(nn.Module):
             n_pairs = self.depth // 2
             body = BlockPair
             if self.checkpoint_stages:
-                body = nn.remat(body, prevent_cse=False)
+                policy = None
+                if self.remat_policy == "attn":
+                    # trade ~100 MB/block of HBM for skipping the attention
+                    # branch's forward recompute during backward
+                    policy = jax.checkpoint_policies.save_only_these_names("attn_out")
+                body = nn.remat(body, prevent_cse=False, policy=policy)
             scanned = nn.scan(
                 body,
                 variable_axes={"params": 0},
@@ -718,6 +728,7 @@ def build_swin_from_params(params, dtype=None) -> SwinTransformerV2:
         rel_pos=bool(params.rel_pos),
         residual=bool(params.residual),
         checkpoint_stages=bool(getattr(params, "activation_ckpt", False)),
+        remat_policy=str(getattr(params, "remat_policy", None) or "full"),
         scan_blocks=bool(getattr(params, "scan_blocks", True)),
         dtype=dtype,
         attn_impl=str(getattr(params, "attn_impl", "xla")),

@@ -140,6 +140,30 @@ class TestTrainerEndToEnd:
         lines = [json.loads(l) for l in open(os.path.join(exp, "logs.jsonl"))]
         assert lines[-1]["epoch"] == 3
 
+    def test_multistep_finetune_trains(self, tmp_path):
+        """2-step autoregressive fine-tune: rollout inside the train graph."""
+        from swin_v2_weather_tpu.training.trainer import Trainer
+
+        p = micro_yparams(tmp_path, max_epochs=1)
+        t1 = Trainer(p, "swin_micro_test", run_num="pre")
+        t1.build_and_launch()
+
+        p2 = micro_yparams(
+            tmp_path, max_epochs=1, n_future=1, lr=1e-4,
+            finetune=True, pretrained_checkpoint_path=p["checkpoint_path"],
+        )
+        t2 = Trainer(p2, "swin_micro_test", run_num="ft2step")
+        t2.build_and_launch()
+
+        import json
+
+        exp = os.path.join(str(tmp_path), "swin_micro_test", "ft2step")
+        lines = [json.loads(l) for l in open(os.path.join(exp, "logs.jsonl"))]
+        assert len(lines) == 1
+        assert np.isfinite(lines[0]["loss"])
+        # multistep eval metrics come from the LAST rollout step's channels
+        assert "valid_rmse_u10m" in lines[0]
+
     def test_finetune_loads_weights_only(self, tmp_path):
         from swin_v2_weather_tpu.training.trainer import Trainer
 

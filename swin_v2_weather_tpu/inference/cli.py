@@ -1,0 +1,116 @@
+"""Inference CLI: medium-range rollout + scoring from a model registry.
+
+Replaces the reference's external Earth2MIP workflow (reference
+``README.md:77-78``): point it at a registry directory (see
+``inference/registry.py``) and an ERA5 validation archive, pick initial
+conditions, and it scores lat-weighted RMSE (and ACC when a climatology is
+available) per lead time.
+
+Usage:
+    python -m swin_v2_weather_tpu.inference.cli \
+        --registry registry/swin_73var \
+        --data /data/era5/out_of_sample \
+        --ics 0 100 200 --steps 56 --output scores.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import logging
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def run(args) -> dict:
+    from swin_v2_weather_tpu.data.era5 import Era5Dataset
+    from swin_v2_weather_tpu.inference.registry import load_model, load_stats
+    from swin_v2_weather_tpu.inference.rollout import RolloutEngine
+    from swin_v2_weather_tpu.inference.scoring import score_rollout
+
+    model, variables, params = load_model(args.registry)
+    means, stds, time_means = load_stats(params)
+    engine = RolloutEngine(params, model, variables)
+
+    params["n_future"] = 0
+    dataset = Era5Dataset(params, args.data, train=False)
+
+    h, w = dataset.img_shape
+    if time_means is not None:
+        time_means = time_means[..., :h, :w]  # same 721 -> 720 crop as the data
+    all_scores = []
+    for ic_idx in args.ics:
+        year_idx, local_idx = dataset.locate(int(ic_idx))
+        year = dataset.years[year_idx]
+        start = datetime.datetime(year, 1, 1) + datetime.timedelta(
+            hours=6 * dataset.dt * local_idx
+        )
+
+        sample = dataset[int(ic_idx)]
+        ic = sample[0][None, : len(params["out_channels"])]
+
+        def targets():
+            for s in range(args.steps):
+                idx2 = local_idx + dataset.dt * (s + 1)
+                tar = dataset._native.read(
+                    year_idx, idx2, dataset.out_channels, (h, w),
+                    dataset.out_means[:, 0, 0], dataset.out_stds[:, 0, 0],
+                ) if dataset._native is not None else None
+                if tar is None:
+                    ds = dataset._handle(year_idx)
+                    tar = ds[idx2, dataset._select(dataset.out_channels), :h, :w].astype(
+                        np.float32
+                    )
+                    tar = (tar - dataset.out_means[:, :1, :1]) / dataset.out_stds[:, :1, :1]
+                yield tar[None]
+
+        # stream targets lazily; score_rollout needs len(), so materialize a
+        # list of lazily-read arrays (one step resident at a time on device)
+        tars = list(targets())
+        scores = score_rollout(
+            engine, ic, tars, start, means=means, stds=stds,
+            climatology=time_means, channel_names=list(params["channel_names"]),
+        )
+        scores["ic_index"] = int(ic_idx)
+        scores["start_time"] = start.isoformat()
+        all_scores.append(scores)
+        logger.info(
+            "ic %d (%s): rmse[t+6h] mean %.3f", ic_idx, start.isoformat(),
+            float(np.mean(scores["rmse"][0])),
+        )
+
+    # average over initial conditions (the standard deterministic skill curve)
+    out = {
+        "lead_hours": all_scores[0]["lead_hours"].tolist(),
+        "channels": list(params["channel_names"]),
+        "rmse": np.mean([s["rmse"] for s in all_scores], axis=0).tolist(),
+        "n_ics": len(args.ics),
+    }
+    if "acc" in all_scores[0]:
+        out["acc"] = np.mean([s["acc"] for s in all_scores], axis=0).tolist()
+    return out
+
+
+def main():
+    from swin_v2_weather_tpu.utils.logging_utils import config_logger
+
+    config_logger()
+    parser = argparse.ArgumentParser(description="rollout + scoring")
+    parser.add_argument("--registry", required=True, help="model registry directory")
+    parser.add_argument("--data", required=True, help="ERA5 HDF5 archive directory")
+    parser.add_argument("--ics", type=int, nargs="+", default=[0], help="IC sample indices")
+    parser.add_argument("--steps", type=int, default=56, help="rollout steps (6h each)")
+    parser.add_argument("--output", default="scores.json")
+    args = parser.parse_args()
+
+    out = run(args)
+    with open(args.output, "w") as f:
+        json.dump(out, f, indent=2)
+    logging.info("wrote %s", args.output)
+
+
+if __name__ == "__main__":
+    main()

@@ -181,6 +181,23 @@ class Era5Dataset:
             return slice(int(c[0]), int(c[0] + len(c)))
         return list(int(i) for i in c)
 
+    def read_output_frame(self, year_idx: int, local_idx: int) -> np.ndarray:
+        """One [C_out, H, W] frame (normalized if host_normalize) — used by
+        the rollout scorer to stream verification targets."""
+        sx, sy = self.img_shape
+        if self._native is not None:
+            stats = (
+                (self.out_means[:, 0, 0], self.out_stds[:, 0, 0])
+                if self.normalize
+                else (None, None)
+            )
+            return self._native.read(year_idx, local_idx, self.out_channels, (sx, sy), *stats)
+        ds = self._handle(year_idx)
+        tar = ds[local_idx, self._select(self.out_channels), 0:sx, 0:sy].astype(np.float32)
+        if self.normalize:
+            tar = (tar - self.out_means[:, :1, :1]) / self.out_stds[:, :1, :1]
+        return tar
+
     def __getitem__(self, global_idx: int):
         year_idx, local_idx = self.locate(int(global_idx))
         step = self.dt

@@ -52,24 +52,17 @@ def run(args) -> dict:
         sample = dataset[int(ic_idx)]
         ic = sample[0][None, : len(params["out_channels"])]
 
-        def targets():
-            for s in range(args.steps):
-                idx2 = local_idx + dataset.dt * (s + 1)
-                tar = dataset._native.read(
-                    year_idx, idx2, dataset.out_channels, (h, w),
-                    dataset.out_means[:, 0, 0], dataset.out_stds[:, 0, 0],
-                ) if dataset._native is not None else None
-                if tar is None:
-                    ds = dataset._handle(year_idx)
-                    tar = ds[idx2, dataset._select(dataset.out_channels), :h, :w].astype(
-                        np.float32
-                    )
-                    tar = (tar - dataset.out_means[:, :1, :1]) / dataset.out_stds[:, :1, :1]
-                yield tar[None]
-
-        # stream targets lazily; score_rollout needs len(), so materialize a
-        # list of lazily-read arrays (one step resident at a time on device)
-        tars = list(targets())
+        n_avail = dataset.n_samples_year[year_idx]
+        steps = min(args.steps, (n_avail - 1 - local_idx) // dataset.dt)
+        if steps < args.steps:
+            logger.warning(
+                "ic %d: only %d of %d requested steps fit inside %d",
+                ic_idx, steps, args.steps, dataset.years[year_idx],
+            )
+        tars = [
+            dataset.read_output_frame(year_idx, local_idx + dataset.dt * (s + 1))[None]
+            for s in range(steps)
+        ]
         scores = score_rollout(
             engine, ic, tars, start, means=means, stds=stds,
             climatology=time_means, channel_names=list(params["channel_names"]),
@@ -82,15 +75,17 @@ def run(args) -> dict:
             float(np.mean(scores["rmse"][0])),
         )
 
-    # average over initial conditions (the standard deterministic skill curve)
+    # average over initial conditions (the standard deterministic skill
+    # curve); trim to the shortest rollout if a late IC ran out of year
+    t_min = min(len(s["rmse"]) for s in all_scores)
     out = {
-        "lead_hours": all_scores[0]["lead_hours"].tolist(),
+        "lead_hours": all_scores[0]["lead_hours"][:t_min].tolist(),
         "channels": list(params["channel_names"]),
-        "rmse": np.mean([s["rmse"] for s in all_scores], axis=0).tolist(),
+        "rmse": np.mean([s["rmse"][:t_min] for s in all_scores], axis=0).tolist(),
         "n_ics": len(args.ics),
     }
     if "acc" in all_scores[0]:
-        out["acc"] = np.mean([s["acc"] for s in all_scores], axis=0).tolist()
+        out["acc"] = np.mean([s["acc"][:t_min] for s in all_scores], axis=0).tolist()
     return out
 
 

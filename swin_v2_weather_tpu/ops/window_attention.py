@@ -63,6 +63,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 
+# W-chunk budgets (windows per grid step) for the grid kernels; tunable for
+# sweeps. Larger chunks amortize grid overhead but raise per-step VMEM.
+# Swept on v5e at flagship size: fwd flat at 8-16, bwd best at 8.
+FWD_WINDOW_BUDGET = 8
+BWD_WINDOW_BUDGET = 8
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -385,7 +391,9 @@ def _make_grid_kernel(wh: int, ww: int, nc: int, group: int, n_window_rows: int,
 
 
 def _grid_forward(q, k, v, scale, bias, mask_pattern, window, interpret,
-                  w_chunk_windows: int = 8):
+                  w_chunk_windows: int = None):
+    if w_chunk_windows is None:
+        w_chunk_windows = FWD_WINDOW_BUDGET
     b, h, w, c = q.shape
     wh, ww = window
     nwh, nww = h // wh, w // ww
@@ -551,7 +559,9 @@ def _make_grid_bwd_kernel(wh: int, ww: int, nc: int, group: int,
 
 
 def _grid_backward(q, k, v, scale, g, mask_pattern, window, interpret,
-                   w_chunk_windows: int = 4):
+                   w_chunk_windows: int = None):
+    if w_chunk_windows is None:
+        w_chunk_windows = BWD_WINDOW_BUDGET
     b, h, w, c = q.shape
     wh, ww = window
     nwh, nww = h // wh, w // ww

@@ -272,9 +272,11 @@ class Trainer:
     def validate_one_epoch(self):
         valid_start = time.time()
         outs = []
+        last_batch = None
         for batch in device_prefetch(iter(self.valid_loader), self.mesh):
             # keep results on device; one host sync at the end of the epoch
             outs.append(self.eval_step(self.state.params, batch))
+            last_batch = batch
         steps = max(len(outs), 1)
         loss_sum = sum(float(o["loss"]) for o in outs)
         rmse_sum = np.sum([np.asarray(o["rmse"], np.float64) for o in outs], axis=0)
@@ -286,7 +288,25 @@ class Trainer:
         for var in track:
             if var in names:
                 logs[f"valid_rmse_{var}"] = float(valid_rmse[names.index(var)])
+
+        # pred-vs-target panel (reference train.py:331-332, 365-369)
+        if self.is_chief and bool(getattr(self.params, "save_vis", False)) and last_batch:
+            self._save_vis(last_batch)
         return time.time() - valid_start, logs
+
+    def _save_vis(self, batch) -> None:
+        from swin_v2_weather_tpu.utils.img_utils import vis
+
+        inp, tar, tzen = self.preprocessor(batch)
+        gen = self.model.apply(
+            {"params": self.state.params}, inp, coszen=tzen, train=False
+        )
+        fig = vis((np.asarray(gen[0, 0]), np.asarray(tar[0, 0])))
+        out = os.path.join(self.params["experiment_dir"], f"vis_epoch{self.epoch}.png")
+        fig.savefig(out, dpi=72)
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
 
 
 def _plain_dict(params) -> dict:

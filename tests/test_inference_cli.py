@@ -1,0 +1,81 @@
+"""End-to-end inference CLI: train on generated HDF5 data, export a
+registry, run the rollout scorer, validate the skill-curve output."""
+
+import argparse
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from swin_v2_weather_tpu.config.yparams import YParams, default_config_path
+
+
+@pytest.fixture(scope="module")
+def registry_and_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(0)
+    for split, years in [("train", (2015,)), ("test", (2017,))]:
+        os.makedirs(root / "data" / split)
+        for y in years:
+            with h5py.File(root / "data" / split / f"{y}.h5", "w") as f:
+                f.create_dataset(
+                    "fields", data=rng.standard_normal((20, 4, 25, 48)).astype(np.float32)
+                )
+    os.makedirs(root / "stats")
+    np.save(root / "stats" / "global_means.npy", np.zeros((1, 4, 1, 1), np.float32))
+    np.save(root / "stats" / "global_stds.npy", np.ones((1, 4, 1, 1), np.float32))
+    np.save(root / "stats" / "time_diff_stds.npy", np.ones((1, 4, 1, 1), np.float32))
+    np.save(root / "stats" / "time_means.npy", np.zeros((1, 4, 25, 48), np.float32))
+
+    from swin_v2_weather_tpu.inference.registry import export_model
+    from swin_v2_weather_tpu.training.trainer import Trainer
+
+    p = YParams(default_config_path(), "swin_micro_test")
+    p["exp_dir"] = str(root / "runs")
+    p["max_epochs"] = 1
+    p["batch_size"] = 8
+    p["data_loader_config"] = "threaded"
+    p["train_data_path"] = str(root / "data" / "train")
+    p["valid_data_path"] = str(root / "data" / "test")
+    for key in ("global_means", "global_stds", "time_diff_stds", "time_means"):
+        p[f"{key}_path"] = str(root / "stats" / f"{key}.npy")
+    Trainer(p, "swin_micro_test", run_num="c").build_and_launch()
+    reg = export_model(p["experiment_dir"], str(root / "registry"))
+    return reg, str(root / "data" / "test"), root
+
+
+class TestInferenceCli:
+    def test_scores_shape_and_trim(self, registry_and_data):
+        from swin_v2_weather_tpu.inference.cli import run as cli_run
+
+        reg, data, root = registry_and_data
+        args = argparse.Namespace(
+            registry=reg, data=data, ics=[2, 15], steps=6, output=str(root / "s.json")
+        )
+        out = cli_run(args)
+        # ic 15 hits the year end -> curves trimmed to the shortest rollout
+        assert len(out["lead_hours"]) < 6
+        assert out["lead_hours"][0] == 6
+        rmse = np.asarray(out["rmse"])
+        assert rmse.shape == (len(out["lead_hours"]), 4)
+        assert np.isfinite(rmse).all()
+        assert "acc" in out  # time_means.npy shipped in the registry
+        assert out["n_ics"] == 2
+
+    def test_read_output_frame_matches_getitem(self, registry_and_data):
+        from swin_v2_weather_tpu.data.era5 import Era5Dataset
+
+        reg, data, root = registry_and_data
+        p = YParams(default_config_path(), "swin_micro_test")
+        p["in_channels"] = np.asarray(p["in_channels"])
+        p["out_channels"] = np.asarray(p["out_channels"])
+        p["global_means_path"] = str(root / "stats" / "global_means.npy")
+        p["global_stds_path"] = str(root / "stats" / "global_stds.npy")
+        p["img_size"] = [24, 48]
+        ds = Era5Dataset(p, data, train=False)
+        year_idx, local = ds.locate(3)
+        _, tar, _, _ = ds[3]
+        frame = ds.read_output_frame(year_idx, local + 1)
+        np.testing.assert_allclose(frame, tar, rtol=1e-6)

@@ -1,0 +1,312 @@
+"""Numerical parity against the actual reference PyTorch implementation.
+
+Loads ``/root/reference/networks/swinv2_global.py`` (when mounted), copies
+its randomly-initialized weights into our Flax model, and compares forward
+outputs on the same input. This pins every architectural detail — patch
+embedding, qkv packing order, cosine attention scaling, shift mask
+semantics, unpatchify pixel order, residual — against the reference at
+floating-point tolerance, not just by reimplementation review.
+
+The reference imports three small timm layers (Mlp, DropPath, to_2tuple);
+they are shimmed here with standard torch equivalents so the module loads
+without timm installed. Skipped when the reference tree or torch is absent.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "networks")),
+    reason="reference tree not mounted",
+)
+
+
+def _install_timm_shim():
+    """Minimal timm.models.layers: Mlp, DropPath, to_2tuple."""
+    if "timm.models.layers" in sys.modules:
+        return
+    import torch.nn as nn
+
+    class Mlp(nn.Module):
+        def __init__(self, in_features, hidden_features=None, out_features=None,
+                     act_layer=nn.GELU, drop=0.0, **kw):
+            super().__init__()
+            hidden_features = hidden_features or in_features
+            out_features = out_features or in_features
+            drop = (drop, drop) if not isinstance(drop, (tuple, list)) else drop
+            self.fc1 = nn.Linear(in_features, hidden_features)
+            self.act = act_layer()
+            self.drop1 = nn.Dropout(drop[0])
+            self.fc2 = nn.Linear(hidden_features, out_features)
+            self.drop2 = nn.Dropout(drop[1])
+
+        def forward(self, x):
+            return self.drop2(self.fc2(self.drop1(self.act(self.fc1(x)))))
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=0.0, scale_by_keep=True):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            if self.drop_prob == 0.0 or not self.training:
+                return x
+            keep = 1 - self.drop_prob
+            mask = x.new_empty((x.shape[0],) + (1,) * (x.ndim - 1)).bernoulli_(keep)
+            return x * mask / keep
+
+    def to_2tuple(x):
+        return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
+
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+    layers.Mlp = Mlp
+    layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
+    class ClassifierHead(nn.Module):  # unused by the weather model
+        def __init__(self, *a, **k):
+            super().__init__()
+            raise NotImplementedError("ClassifierHead not used by weather configs")
+
+    def _assert(cond, msg=""):
+        assert cond, msg
+
+    layers.ClassifierHead = ClassifierHead
+    layers._assert = _assert
+    models.layers = layers
+    timm.models = models
+    timm.layers = layers
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = models
+    sys.modules["timm.models.layers"] = layers
+    sys.modules["timm.layers"] = layers
+
+    if "ruamel.yaml" not in sys.modules:
+        try:
+            import ruamel.yaml  # noqa: F401
+        except ImportError:
+            # the reference imports ruamel for its yaml factory, which this
+            # test never calls; a pyyaml-backed stand-in satisfies the import
+            import yaml as _pyyaml
+
+            class YAML:
+                def load(self, stream):
+                    return _pyyaml.safe_load(stream)
+
+            ruamel = types.ModuleType("ruamel")
+            ruamel_yaml = types.ModuleType("ruamel.yaml")
+            ruamel_yaml.YAML = YAML
+            ruamel.yaml = ruamel_yaml
+            sys.modules["ruamel"] = ruamel
+            sys.modules["ruamel.yaml"] = ruamel_yaml
+
+
+@pytest.fixture(scope="module")
+def reference_module():
+    _install_timm_shim()
+    sys.path.insert(0, REFERENCE)
+    try:
+        import importlib
+
+        mod = importlib.import_module("networks.swinv2_global")
+    finally:
+        sys.path.remove(REFERENCE)
+    return mod
+
+
+CFG = dict(
+    img_size=(24, 48), patch_size=2, in_chans=5, out_chans=4, embed_dim=32,
+    depth=2, num_heads=2, window_ratio=8, full_pos_embed=True, rel_pos=False,
+    residual=True, mlp_ratio=4.0,
+)
+
+
+def build_reference(mod, rel_pos=False):
+    m = mod.SwinTransformerV2Cr(
+        img_size=CFG["img_size"], patch_size=CFG["patch_size"],
+        depths=(CFG["depth"],), num_heads=(CFG["num_heads"],),
+        in_chans=CFG["in_chans"], out_chans=CFG["out_chans"],
+        embed_dim=CFG["embed_dim"], img_window_ratio=CFG["window_ratio"],
+        drop_path_rate=0.0, full_pos_embed=CFG["full_pos_embed"],
+        rel_pos=rel_pos, mlp_ratio=CFG["mlp_ratio"],
+        checkpoint_stages=False, residual=CFG["residual"],
+    )
+    m.eval()
+    # randomize the zero-init norm scales so the blocks are not identities
+    g = torch.Generator().manual_seed(7)
+    with torch.no_grad():
+        for name, p in m.named_parameters():
+            if "norm" in name or "logit_scale" in name:
+                p.copy_(torch.randn(p.shape, generator=g) * 0.5)
+    return m
+
+
+def torch_to_flax(m, p, rel_pos=False):
+    """Map the reference state_dict into our Flax param tree."""
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    emb = CFG["embed_dim"]
+    patch = CFG["patch_size"]
+
+    def dense(prefix):
+        return {
+            "kernel": sd[prefix + ".weight"].T,
+            "bias": sd[prefix + ".bias"],
+        }
+
+    def norm(prefix):
+        return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+    conv_w = sd["patch_embed.proj.weight"]  # [E, C, p, p]
+    params = {
+        "patch_embed": {
+            "proj": {
+                # space-to-depth flatten order is (p_h, p_w, c)
+                "kernel": conv_w.transpose(2, 3, 1, 0).reshape(-1, emb),
+                "bias": sd["patch_embed.proj.bias"],
+            },
+            "norm": norm("patch_embed.norm"),
+        },
+        "pos_embed": sd["pos_embed"].transpose(0, 2, 3, 1),
+        "head": {"kernel": sd["head.weight"].T},
+    }
+    for i in range(CFG["depth"]):
+        pre = f"stages.0.blocks.{i}"
+        attn = {
+            "qkv": dense(pre + ".attn.qkv"),
+            "proj": dense(pre + ".attn.proj"),
+            "logit_scale": sd[pre + ".attn.logit_scale"].reshape(-1),
+        }
+        if rel_pos:
+            attn["meta_mlp"] = {
+                "fc1": dense(pre + ".attn.meta_mlp.fc1"),
+                "fc2": dense(pre + ".attn.meta_mlp.fc2"),
+            }
+        params[f"block{i}"] = {
+            "attn": attn,
+            "mlp": {"fc1": dense(pre + ".mlp.fc1"), "fc2": dense(pre + ".mlp.fc2")},
+            "norm1": norm(pre + ".norm1"),
+            "norm2": norm(pre + ".norm2"),
+        }
+    return params
+
+
+class TestReferenceParity:
+    @pytest.mark.parametrize("rel_pos", [False, True])
+    def test_forward_matches_torch(self, reference_module, rel_pos):
+        import jax
+        import jax.numpy as jnp
+
+        from swin_v2_weather_tpu.models.swin import SwinTransformerV2
+
+        ref = build_reference(reference_module, rel_pos=rel_pos)
+        ours = SwinTransformerV2(
+            img_size=CFG["img_size"], patch_size=CFG["patch_size"],
+            in_chans=CFG["in_chans"], out_chans=CFG["out_chans"],
+            embed_dim=CFG["embed_dim"], depth=CFG["depth"],
+            num_heads=CFG["num_heads"], img_window_ratio=CFG["window_ratio"],
+            full_pos_embed=True, rel_pos=rel_pos, residual=True,
+            dtype=jnp.float32, scan_blocks=False, attn_impl="xla",
+        )
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((2, CFG["in_chans"], 24, 48)).astype(np.float32)
+
+        with torch.no_grad():
+            y_ref = ref(torch.from_numpy(x)).numpy()
+
+        template = ours.init(jax.random.key(0), jnp.asarray(x))
+        mapped = torch_to_flax(ref, template["params"], rel_pos=rel_pos)
+        # structural check: identical tree of shapes
+        flat_t = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, template["params"])
+        flat_m = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, mapped)
+        assert flat_t == flat_m, "param tree mismatch"
+        y_ours = np.asarray(ours.apply({"params": mapped}, jnp.asarray(x)))
+
+        assert y_ours.shape == y_ref.shape
+        np.testing.assert_allclose(y_ours, y_ref, atol=2e-4, rtol=2e-4)
+
+    def test_multistep_wrapper_matches_torch(self, reference_module):
+        """In-graph autoregressive rollout parity (networks/helpers.py)."""
+        import importlib
+
+        import jax
+        import jax.numpy as jnp
+
+        sys.path.insert(0, REFERENCE)
+        try:
+            helpers = importlib.import_module("networks.helpers")
+        finally:
+            sys.path.remove(REFERENCE)
+
+        from swin_v2_weather_tpu.models.swin import SwinTransformerV2
+        from swin_v2_weather_tpu.models.wrappers import MultiStepWrapper
+
+        n_future, n_invar = 1, 2
+        in_chans = CFG["out_chans"] + 1 + n_invar  # out + zenith + invariants
+        ref_core = build_reference(reference_module)
+        # widen reference input channels: rebuild with in_chans for rollout
+        ref_core = reference_module.SwinTransformerV2Cr(
+            img_size=CFG["img_size"], patch_size=CFG["patch_size"],
+            depths=(CFG["depth"],), num_heads=(CFG["num_heads"],),
+            in_chans=in_chans, out_chans=CFG["out_chans"],
+            embed_dim=CFG["embed_dim"], img_window_ratio=CFG["window_ratio"],
+            drop_path_rate=0.0, full_pos_embed=True, rel_pos=False,
+            mlp_ratio=CFG["mlp_ratio"], checkpoint_stages=False, residual=True,
+        ).eval()
+        g = torch.Generator().manual_seed(11)
+        with torch.no_grad():
+            for name, p in ref_core.named_parameters():
+                if "norm" in name or "logit_scale" in name:
+                    p.copy_(torch.randn(p.shape, generator=g) * 0.5)
+        fake_params = types.SimpleNamespace(
+            n_future=n_future, add_orography=0, add_landmask=1  # invar = 2
+        )
+        ref_wrap = helpers.MultiStepWrapper(fake_params, lambda p: ref_core).eval()
+
+        ours_core = SwinTransformerV2(
+            img_size=CFG["img_size"], patch_size=CFG["patch_size"],
+            in_chans=in_chans, out_chans=CFG["out_chans"],
+            embed_dim=CFG["embed_dim"], depth=CFG["depth"],
+            num_heads=CFG["num_heads"], img_window_ratio=CFG["window_ratio"],
+            full_pos_embed=True, rel_pos=False, residual=True,
+            dtype=jnp.float32, scan_blocks=False, attn_impl="xla",
+        )
+        ours_wrap = MultiStepWrapper(model=ours_core, n_future=n_future, n_invar=n_invar)
+
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((1, in_chans, 24, 48)).astype(np.float32)
+        coszen = rng.standard_normal((1, n_future + 1, 24, 48)).astype(np.float32)
+
+        with torch.no_grad():
+            y_ref = ref_wrap(torch.from_numpy(x), torch.from_numpy(coszen)).numpy()
+
+        template = ours_core.init(jax.random.key(0), jnp.asarray(x))
+        mapped = torch_to_flax(ref_core, template["params"])
+        y_ours = np.asarray(
+            ours_wrap.apply({"params": {"model": mapped}}, jnp.asarray(x),
+                            coszen=jnp.asarray(coszen))
+        )
+        assert y_ours.shape == y_ref.shape == (1, (n_future + 1) * CFG["out_chans"], 24, 48)
+        np.testing.assert_allclose(y_ours, y_ref, atol=5e-4, rtol=5e-4)
+
+    def test_shift_mask_matches_reference_blocks(self, reference_module):
+        """Our host-side mask equals the reference block's buffered mask."""
+        ref = build_reference(reference_module)
+        from swin_v2_weather_tpu.models.swin import make_shift_mask
+
+        blk = ref.stages[0].blocks[1]  # the shifted block
+        ref_mask = blk.attn_mask
+        if ref_mask is None:
+            pytest.skip("reference block is unshifted at this size")
+        ours = make_shift_mask(
+            tuple(blk.feat_size), tuple(blk.window_size), tuple(blk.shift_size)
+        )
+        np.testing.assert_array_equal(np.asarray(ref_mask.numpy()), ours)

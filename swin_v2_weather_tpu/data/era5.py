@@ -36,7 +36,7 @@ import logging
 import os
 import threading
 from bisect import bisect_right
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import h5py
 import numpy as np

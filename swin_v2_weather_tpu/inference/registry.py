@@ -23,7 +23,6 @@ import os
 import shutil
 from typing import Optional, Tuple
 
-import jax
 import numpy as np
 import yaml
 

@@ -15,7 +15,6 @@ stats and the affine transform in fp32, output cast back to the input dtype.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

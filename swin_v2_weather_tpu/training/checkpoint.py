@@ -16,7 +16,7 @@ blocking-save semantics; multi-host coordination is handled inside orbax.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np

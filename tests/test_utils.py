@@ -103,6 +103,39 @@ class TestStepTimer:
         assert t.reset() == {}
 
 
+class TestStepProfiler:
+    def test_trace_window_writes_files(self, tmp_path):
+        from swin_v2_weather_tpu.utils.profiling import StepProfiler
+
+        class P(dict):
+            __getattr__ = dict.get
+
+        prof = StepProfiler(
+            P(profile_num_steps=2, profile_start_step=1, profile_dir=str(tmp_path / "tr")),
+            str(tmp_path),
+        )
+        import jax.numpy as jnp
+
+        for step in range(5):
+            prof.step(step)
+            _ = jnp.ones((8, 8)) * 2  # some device work inside the window
+        prof.close()
+        assert prof._done
+        files = list((tmp_path / "tr").rglob("*"))
+        assert files, "no trace artifacts written"
+
+    def test_disabled_by_default(self, tmp_path):
+        from swin_v2_weather_tpu.utils.profiling import StepProfiler
+
+        class P(dict):
+            __getattr__ = dict.get
+
+        prof = StepProfiler(P(), str(tmp_path))
+        for step in range(3):
+            prof.step(step)
+        assert not prof.enabled
+
+
 class TestInterpolate:
     def test_identity_scale(self, rng):
         x = rng.standard_normal((3, 8, 10))

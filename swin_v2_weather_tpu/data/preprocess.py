@@ -44,11 +44,40 @@ class Preprocessor:
         self.static = None if static is None else jnp.asarray(static[None], jnp.float32)
         self.n_static = 0 if self.static is None else int(self.static.shape[1])
 
+        # device-side normalization (host_normalize: false): the loader
+        # ships raw fields and the z-scoring fuses into the jitted step —
+        # the DALI-GPU-normalize role (reference data_loader_era5_dali.py:77-90)
+        self.device_normalize = not bool(getattr(params, "host_normalize", True))
+        if self.device_normalize:
+            import os
+
+            if not os.path.exists(str(params.global_means_path)):
+                raise FileNotFoundError(
+                    "host_normalize=false requires global_means/stds files"
+                )
+            in_ch = np.asarray(params.in_channels)
+            out_ch = np.asarray(params.out_channels)
+            n_fut = int(getattr(params, "n_future", 0) or 0)
+            means = np.load(params.global_means_path)[0]
+            stds = np.load(params.global_stds_path)[0]
+            self.in_means = jnp.asarray(means[in_ch][None], jnp.float32)
+            self.in_stds = jnp.asarray(stds[in_ch][None], jnp.float32)
+            # targets have (n_future+1) steps flattened into channels
+            self.out_means = jnp.asarray(
+                np.tile(means[out_ch], (n_fut + 1, 1, 1))[None], jnp.float32
+            )
+            self.out_stds = jnp.asarray(
+                np.tile(stds[out_ch], (n_fut + 1, 1, 1))[None], jnp.float32
+            )
+
     def __call__(
         self, batch: Dict[str, jnp.ndarray]
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
         inp = batch["inp"].astype(jnp.float32)
         tar = batch["tar"].astype(jnp.float32)
+        if self.device_normalize:
+            inp = (inp - self.in_means) / self.in_stds
+            tar = (tar - self.out_means) / self.out_stds
         tzen = None
         if self.add_zenith:
             inp = jnp.concatenate([inp, batch["zen_inp"].astype(jnp.float32)], axis=1)

@@ -159,6 +159,48 @@ class TestPreprocessor:
         assert abs(oro.std() - 1.0) < 1e-2
         np.testing.assert_allclose(np.asarray(tzen[:, 0]), 7.0)
 
+    def test_device_normalization_matches_host(self, tmp_path):
+        """host_normalize=False: z-scoring happens inside the preprocessor
+        and matches host-side normalization exactly."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        means = rng.standard_normal((1, 3, 1, 1)).astype(np.float32)
+        stds = (0.5 + rng.random((1, 3, 1, 1))).astype(np.float32)
+        np.save(tmp_path / "m.npy", means)
+        np.save(tmp_path / "s.npy", stds)
+
+        p = micro_params(
+            n_future=1,
+            add_zenith=False, add_orography=False, add_landmask=False,
+            host_normalize=False,
+            global_means_path=str(tmp_path / "m.npy"),
+            global_stds_path=str(tmp_path / "s.npy"),
+        )
+        pre = Preprocessor(p)
+        raw_inp = rng.standard_normal((2, 3, 16, 32)).astype(np.float32)
+        raw_tar = rng.standard_normal((2, 6, 16, 32)).astype(np.float32)  # 2 steps
+        inp, tar, _ = pre({"inp": jnp.asarray(raw_inp), "tar": jnp.asarray(raw_tar)})
+
+        np.testing.assert_allclose(
+            np.asarray(inp), (raw_inp - means) / stds, rtol=1e-6
+        )
+        exp_tar = (raw_tar - np.tile(means[0], (2, 1, 1))[None]) / np.tile(
+            stds[0], (2, 1, 1)
+        )[None]
+        np.testing.assert_allclose(np.asarray(tar), exp_tar, rtol=1e-6)
+
+    def test_device_normalize_missing_stats_raises(self):
+        with pytest.raises(FileNotFoundError):
+            Preprocessor(
+                micro_params(
+                    add_zenith=False, add_orography=False, add_landmask=False,
+                    host_normalize=False,
+                    global_means_path="/nonexistent/m.npy",
+                    global_stds_path="/nonexistent/s.npy",
+                )
+            )
+
     def test_no_conditioning(self):
         import jax.numpy as jnp
 

@@ -595,7 +595,7 @@ class SwinTransformerV2(nn.Module):
         resolution only needs a re-jit — no buffer surgery. Parameters carry
         over unchanged except ``pos_embed`` when ``full_pos_embed`` is set
         (it is resolution-shaped, as in the reference)."""
-        return self.copy(
+        return self.clone(
             img_size=tuple(img_size),
             img_window_ratio=int(window_ratio or self.img_window_ratio),
         )

@@ -254,6 +254,20 @@ class CpbMlp(nn.Module):
         return x
 
 
+class QkvParams(nn.Module):
+    """Parameter-only stand-in for the qkv Dense (same path/shapes/init) so
+    the fused qkv kernel can consume the raw weight matrices."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_kernel_init, (self.in_features, self.features))
+        bias = self.param("bias", torch_bias_init(self.in_features), (self.features,))
+        return kernel, bias
+
+
 class WindowAttention(nn.Module):
     """Scaled cosine window attention, with optional CPB relative bias.
 
@@ -298,6 +312,26 @@ class WindowAttention(nn.Module):
                 rel_coords, deterministic=deterministic
             )  # [L*L, heads]
             bias = cpb.transpose(1, 0).reshape(self.num_heads, l, l)
+
+        if grid_input and self.attn_impl == "pallas_qkv" and bias is None:
+            # v3: the qkv projection itself runs inside the kernel (the
+            # attention block is HBM-IO bound; this reads x once instead of
+            # three pre-projected tensors). Params live at the same
+            # attn/qkv/{kernel,bias} path as the Dense, so checkpoints are
+            # interchangeable across attn_impl values.
+            from swin_v2_weather_tpu.ops.window_attention import (
+                fused_window_attention_qkv,
+            )
+
+            w_b = QkvParams(features=3 * c, in_features=c, name="qkv")()
+            pattern = mask[-1] if mask is not None else None
+            out = fused_window_attention_qkv(
+                x, w_b[0].astype(self.dtype or x.dtype), w_b[1], scale,
+                self.window_size, mask_pattern=pattern,
+            )
+            out = _dense(c, c, dtype=self.dtype, name="proj")(out)
+            out = nn.Dropout(self.drop_proj)(out, deterministic=deterministic)
+            return out
 
         qkv = _dense(3 * c, c, dtype=self.dtype, name="qkv")(x)
 
@@ -406,7 +440,7 @@ class SwinBlock(nn.Module):
         # grid mode (default on TPU): the fused kernel windows via BlockSpec
         # indexing, so only the cyclic roll touches HBM layout; the roll
         # commutes with the linear qkv projection (roll(qkv(x)) == qkv(roll(x)))
-        use_grid = self.attn_impl == "pallas" and not (
+        use_grid = self.attn_impl in ("pallas", "pallas_qkv") and not (
             self.drop_attn > 0.0 and not deterministic
         )
         mask = make_shift_mask(self.feat_size, window, shift) if do_shift else None

@@ -774,6 +774,230 @@ def fused_window_attention_grid(
     return fn(q, k, v, scale)
 
 
+# ---------------------------------------------------------------------------
+# v3: qkv-fused kernel — the attention block is HBM-IO bound (a copy-only
+# kernel over the same blocks costs 3.4 of 4.3 ms), so the win is reading
+# the activation once and computing the qkv projection in VMEM instead of
+# streaming three pre-projected tensors from HBM. Opt-in: attn_impl
+# 'pallas_qkv' (bias-free configs only).
+# ---------------------------------------------------------------------------
+
+
+def _make_qkv_kernel(wh: int, ww: int, nc: int, heads: int, n_window_rows: int,
+                     has_mask: bool):
+    l = wh * ww
+
+    def kernel(*refs):
+        i = 0
+        scale_ref = refs[i]; i += 1
+        x_ref = refs[i]; i += 1
+        w_ref = refs[i]; i += 1
+        b_ref = refs[i]; i += 1
+        mask_ref = refs[i] if has_mask else None; i += has_mask
+        out_ref = refs[i]; i += 1
+        scratch_ref = refs[i]; i += 1
+        qkv_ref = refs[i]
+
+        c_in = x_ref.shape[-1]
+        c3 = w_ref.shape[-1]
+        c = c3 // 3
+        hd = c // heads
+        wc = nc * ww
+
+        # qkv projection in VMEM: [wh*wc, c_in] @ [c_in, 3C]
+        x2 = x_ref[0].reshape(wh * wc, c_in)
+        qkv = jax.lax.dot_general(
+            x2.astype(jnp.bfloat16), w_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_ref[0]
+
+        # window rearrangement (VMEM transposes are ~free), staged into a
+        # scratch ref head-by-head with STATIC lane slices (Mosaic supports
+        # neither dynamic indexing of values nor lane-splitting reshapes);
+        # the compute loop below then dynamic-indexes the ref
+        t = qkv.astype(jnp.bfloat16).reshape(wh, nc, ww, c3)
+        t = t.transpose(1, 0, 2, 3).reshape(nc, l, c3)
+        for hh in range(heads):  # static unroll: slice+copy only, no temps
+            qkv_ref[0, hh] = t[:, :, hh * hd : (hh + 1) * hd]
+            qkv_ref[1, hh] = t[:, :, c + hh * hd : c + (hh + 1) * hd]
+            qkv_ref[2, hh] = t[:, :, 2 * c + hh * hd : 2 * c + (hh + 1) * hd]
+        # qkv_ref: [3, heads, nc, L, hd]
+
+        if has_mask:
+            row = pl.program_id(1)
+            on_boundary = (row == n_window_rows - 1).astype(jnp.float32)
+            mask_add = on_boundary * mask_ref[:, :]
+        else:
+            mask_add = None
+
+        def body(h, carry):
+            q = qkv_ref[0, h].astype(jnp.float32)
+            k = qkv_ref[1, h].astype(jnp.float32)
+            v = qkv_ref[2, h]
+            q = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-24))
+            k = k * jax.lax.rsqrt(jnp.maximum(jnp.sum(k * k, -1, keepdims=True), 1e-24))
+            s = jax.lax.dot_general(
+                q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * scale_ref[h, 0]
+            if mask_add is not None:
+                s = s + mask_add
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            out_h = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            scratch_ref[h] = out_h.astype(scratch_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, heads, body, 0)
+
+        for hh in range(heads):  # static unroll: slab-ify + store per head
+            o = scratch_ref[hh]  # [nc, L, hd]
+            o = o.reshape(nc, wh, ww, hd).transpose(1, 0, 2, 3).reshape(wh, wc, hd)
+            out_ref[0, :, :, hh * hd : (hh + 1) * hd] = o.astype(out_ref.dtype)
+
+    return kernel
+
+
+def _qkv_forward(x, w_qkv, b_qkv, scale, mask_pattern, window, interpret,
+                 w_chunk_windows: int = 4):
+    b, h, w, c_in = x.shape
+    wh, ww = window
+    nwh, nww = h // wh, w // ww
+    heads = scale.shape[0]
+    c3 = w_qkv.shape[-1]
+    c = c3 // 3
+    hd = c // heads
+    l = wh * ww
+    wc = _pick_wc(w, ww, nww, w_chunk_windows)
+    nc = wc // ww
+    has_mask = mask_pattern is not None
+
+    grid = (b, nwh, nww // nc)
+    x_spec = pl.BlockSpec(
+        (1, wh, wc, c_in), lambda bi, r, wcix: (bi, r, wcix, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, wh, wc, c), lambda bi, r, wcix: (bi, r, wcix, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((heads, 1), lambda bi, r, wcix: (0, 0), memory_space=pltpu.SMEM),
+        x_spec,
+        pl.BlockSpec((c_in, c3), lambda bi, r, wcix: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c3), lambda bi, r, wcix: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [
+        scale.astype(jnp.float32).reshape(heads, 1),
+        x,
+        w_qkv,
+        b_qkv.reshape(1, c3).astype(jnp.float32),
+    ]
+    if has_mask:
+        in_specs.append(
+            pl.BlockSpec((l, l), lambda bi, r, wcix: (0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(jnp.asarray(np.asarray(mask_pattern, np.float32)))
+
+    kernel = _make_qkv_kernel(wh, ww, nc, heads, nwh, has_mask)
+    n_steps = b * nwh * (nww // nc)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((heads, nc, l, hd), jnp.bfloat16),
+            pltpu.VMEM((3, heads, nc, l, hd), jnp.bfloat16),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * wh * wc * c_in * c3 + 2 * 2 * l * l * hd * heads * nc) * n_steps,
+            bytes_accessed=(b * h * w * (c_in + c) + c_in * c3) * x.dtype.itemsize,
+            transcendentals=b * nwh * nww * heads * l * l,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_qkv(window, pattern_key, interpret: bool):
+    mask_pattern = None
+    if pattern_key is not None:
+        buf, shape = pattern_key
+        mask_pattern = np.frombuffer(buf, np.float32).reshape(shape)
+
+    @jax.custom_vjp
+    def fused(x, w_qkv, b_qkv, scale):
+        return _qkv_forward(x, w_qkv, b_qkv, scale, mask_pattern, window, interpret)
+
+    def f_fwd(x, w_qkv, b_qkv, scale):
+        return fused(x, w_qkv, b_qkv, scale), (x, w_qkv, b_qkv, scale)
+
+    def f_bwd(res, g):
+        # recompute qkv in XLA, reuse the grid backward kernel, then chain
+        # through the projection for dx/dW/db
+        x, w_qkv, b_qkv, scale = res
+        heads = scale.shape[0]
+        c = w_qkv.shape[-1] // 3
+        qkv = (
+            jnp.einsum(
+                "bhwc,cd->bhwd", x.astype(jnp.bfloat16), w_qkv.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            + b_qkv
+        ).astype(x.dtype)
+        q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
+        qn, inv_q = _normalize_heads(q, heads)
+        kn, inv_k = _normalize_heads(k, heads)
+        dqn, dkn, dv, dscale = _grid_backward(
+            qn, kn, v, scale, g, mask_pattern, window, interpret
+        )
+        dq = _normalize_vjp(qn, inv_q, dqn, heads, jnp.float32)
+        dk = _normalize_vjp(kn, inv_k, dkn, heads, jnp.float32)
+        dqkv = jnp.concatenate([dq, dk, dv.astype(jnp.float32)], axis=-1)
+        dx = jnp.einsum(
+            "bhwd,cd->bhwc", dqkv.astype(jnp.bfloat16), w_qkv.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        dw = jnp.einsum(
+            "bhwc,bhwd->cd", x.astype(jnp.bfloat16), dqkv.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(w_qkv.dtype)
+        db = jnp.sum(dqkv, axis=(0, 1, 2)).astype(b_qkv.dtype)
+        return dx, dw, db, dscale
+
+    fused.defvjp(f_fwd, f_bwd)
+    return fused
+
+
+def fused_window_attention_qkv(
+    x: jnp.ndarray,  # [B, H, W, C_in] (already rolled for shifted blocks)
+    w_qkv: jnp.ndarray,  # [C_in, 3C]
+    b_qkv: jnp.ndarray,  # [3C]
+    scale: jnp.ndarray,  # [heads]
+    window: Tuple[int, int],
+    mask_pattern: Optional[np.ndarray] = None,
+) -> jnp.ndarray:
+    """qkv projection + window attention fused: [B,H,W,Cin] -> [B,H,W,C]."""
+    wh, ww = int(window[0]), int(window[1])
+    if x.shape[1] % wh or x.shape[2] % ww:
+        raise ValueError(f"grid {x.shape[1:3]} not divisible by window {window}")
+    pattern_key = None
+    if mask_pattern is not None:
+        arr = np.ascontiguousarray(np.asarray(mask_pattern, np.float32))
+        pattern_key = (arr.tobytes(), arr.shape)
+    fn = _build_qkv((wh, ww), pattern_key, not _on_tpu())
+    return fn(x, w_qkv, b_qkv, scale)
+
+
 def fused_window_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -47,6 +47,10 @@ def main():
     params = _flagship_params()
     batch_size = int(params.get("bench_batch_size", 1))
     params["activation_ckpt"] = True  # fit 720x1440 depth-12 on one chip
+    # measured-best single-chip config (see ROADMAP.md): qkv-fused attention
+    # kernel + keep-attention-outputs remat policy
+    params["attn_impl"] = "pallas_qkv"
+    params["remat_policy"] = "attn"
 
     mesh = make_mesh(None, devices=jax.devices()[:1])
     model = get_model(params)

@@ -45,6 +45,7 @@ def main():
     from swin_v2_weather_tpu.training.step import TrainState, build_train_step
 
     params = _flagship_params()
+    params["data_loader_config"] = "synthetic"  # device-resident random batch
     batch_size = int(params.get("bench_batch_size", 1))
     params["activation_ckpt"] = True  # fit 720x1440 depth-12 on one chip
     # measured-best single-chip config (see ROADMAP.md): qkv-fused attention
@@ -81,14 +82,14 @@ def main():
     # warmup: compile + the first few state-feedback steps pay a one-time
     # buffer-layout adoption; measure steady state only
     for _ in range(8):
-        state, loss = train_step(state, batch, key)
-    _ = float(loss)
+        state, metrics = train_step(state, batch, key)
+    _ = float(metrics["loss"])
 
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        state, loss = train_step(state, batch, key)
-    _ = float(loss)
+        state, metrics = train_step(state, batch, key)
+    _ = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / n_iters
 
     samples_per_sec = batch_size / dt

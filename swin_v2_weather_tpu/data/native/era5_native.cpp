@@ -188,11 +188,19 @@ int era5_read_sample(void *handle, int file_idx, int64_t t,
   const int64_t plane = (int64_t)crop_h * crop_w;
 
   if (r->pool && n_ch > 1) {
-    std::atomic<int> remaining{n_ch};
-    std::mutex done_mu;
-    std::condition_variable done_cv;
+    // Completion latch on the heap (shared_ptr): the waiter may return the
+    // moment remaining hits 0, so workers must never touch synchronization
+    // state on the waiter's stack. Decrement + notify happen under the
+    // lock, so the waiter cannot observe 0 between them.
+    struct Latch {
+      std::mutex mu;
+      std::condition_variable cv;
+      int remaining;
+    };
+    auto latch = std::make_shared<Latch>();
+    latch->remaining = n_ch;
     for (int i = 0; i < n_ch; ++i) {
-      r->pool->Submit([&, i] {
+      r->pool->Submit([&, latch, i] {
         const int64_t chan = channels[i];
         const float mean = norm ? means[i] : 0.f;
         const float inv_std = norm ? 1.f / stds[i] : 1.f;
@@ -200,14 +208,12 @@ int era5_read_sample(void *handle, int file_idx, int64_t t,
             ReadChannel(f, t, chan, crop_h, crop_w, mean, inv_std, norm,
                         out + (int64_t)i * plane))
           err.store(-3);
-        if (remaining.fetch_sub(1) == 1) {
-          std::lock_guard<std::mutex> lk(done_mu);
-          done_cv.notify_one();
-        }
+        std::lock_guard<std::mutex> lk(latch->mu);
+        if (--latch->remaining == 0) latch->cv.notify_one();
       });
     }
-    std::unique_lock<std::mutex> lk(done_mu);
-    done_cv.wait(lk, [&] { return remaining.load() == 0; });
+    std::unique_lock<std::mutex> lk(latch->mu);
+    latch->cv.wait(lk, [&] { return latch->remaining == 0; });
   } else {
     for (int i = 0; i < n_ch; ++i) {
       const int64_t chan = channels[i];

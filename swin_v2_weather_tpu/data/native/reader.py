@@ -6,13 +6,16 @@ the C++ pread thread pool with normalization fused into the copy. Files
 that are chunked or compressed (no stable byte offset) are reported
 ineligible and the caller falls back to the h5py path.
 
-The shared library is compiled on first use with g++ (cached next to the
-source, rebuilt when the source is newer).
+The shared library is always compiled from source on first use with g++;
+the artifact name carries a content hash of the source, so a stale or
+foreign binary (git does not preserve mtimes) can never be loaded. The
+built .so is gitignored, never committed.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import logging
 import os
 import subprocess
@@ -25,17 +28,24 @@ logger = logging.getLogger(__name__)
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "era5_native.cpp")
-_SO = os.path.join(_DIR, "era5_native.so")
 _build_lock = threading.Lock()
 _lib = None
 
 
-def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", _SRC, "-o", _SO]
+def _so_path() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_DIR, f"era5_native-{digest}.so")
+
+
+def _build(so_path: str) -> bool:
+    tmp = so_path + f".tmp.{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, so_path)  # atomic: concurrent builders race safely
         return True
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
         logger.warning("native reader build failed: %s", getattr(e, "stderr", e))
         return False
 
@@ -45,10 +55,11 @@ def _load() -> Optional[ctypes.CDLL]:
     with _build_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not _build():
+        so = _so_path()
+        if not os.path.exists(so):
+            if not _build(so):
                 return None
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
         lib.era5_create.restype = ctypes.c_void_p
         lib.era5_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),

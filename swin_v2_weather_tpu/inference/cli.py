@@ -45,9 +45,10 @@ def run(args) -> dict:
     for ic_idx in args.ics:
         year_idx, local_idx = dataset.locate(int(ic_idx))
         year = dataset.years[year_idx]
-        start = datetime.datetime(year, 1, 1) + datetime.timedelta(
-            hours=6 * dataset.dt * local_idx
-        )
+        # local_idx is a FRAME index into the 6-hourly archive — dt only
+        # strides which frames become samples, it does not change the
+        # archive cadence (cf. data/era5.py zenith timestamps)
+        start = datetime.datetime(year, 1, 1) + datetime.timedelta(hours=6 * local_idx)
 
         sample = dataset[int(ic_idx)]
         ic = sample[0][None, : len(params["out_channels"])]
@@ -83,6 +84,9 @@ def run(args) -> dict:
         "channels": list(params["channel_names"]),
         "rmse": np.mean([s["rmse"][:t_min] for s in all_scores], axis=0).tolist(),
         "n_ics": len(args.ics),
+        "ics": [
+            {"index": s["ic_index"], "start_time": s["start_time"]} for s in all_scores
+        ],
     }
     if "acc" in all_scores[0]:
         out["acc"] = np.mean([s["acc"][:t_min] for s in all_scores], axis=0).tolist()

@@ -223,9 +223,18 @@ class LossHandler:
             ):
                 global_stds = np.load(params.global_stds_path).reshape(1, -1, 1, 1)[:, out_ch]
                 raw_diff_stds = np.load(params.time_diff_stds_path).reshape(1, -1, 1, 1)[:, out_ch]
-            else:  # synthetic-data runs: unit-variance fields, no stats files
+            elif str(getattr(params, "data_loader_config", "")) == "synthetic":
+                # synthetic-data runs: unit-variance fields, no stats files
                 global_stds = np.ones((1, len(out_ch), 1, 1))
                 raw_diff_stds = np.ones((1, len(out_ch), 1, 1))
+            else:
+                # a real-data run with missing stats would silently change the
+                # loss channel weighting — fail loudly instead
+                raise FileNotFoundError(
+                    "temp-std loss requires global_stds_path and "
+                    f"time_diff_stds_path (got {params.global_stds_path!r}, "
+                    f"{params.time_diff_stds_path!r})"
+                )
             time_diff_stds = np.sqrt(params.dt) * raw_diff_stds
             time_var_weights = global_stds / (time_diff_stds + eps)
             if squared:

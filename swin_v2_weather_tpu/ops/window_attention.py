@@ -69,6 +69,11 @@ _NEG_INF = -1e30
 FWD_WINDOW_BUDGET = 8
 BWD_WINDOW_BUDGET = 8
 
+# backward implementation for the qkv-fused (v3) kernel: 'pallas' = the
+# fully-fused backward kernel; 'xla' = recompute qkv in XLA + grid backward
+# kernel (the round-1 path, kept for A/B measurement)
+QKV_BWD_IMPL = "pallas"
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -927,6 +932,237 @@ def _qkv_forward(x, w_qkv, b_qkv, scale, mask_pattern, window, interpret,
     )(*args)
 
 
+def _make_qkv_bwd_kernel(wh: int, ww: int, nc: int, heads: int,
+                         n_window_rows: int, has_mask: bool):
+    """Fully-fused backward for the qkv kernel.
+
+    Per grid step it reads the activation block x and the cotangent block g
+    ONCE from HBM plus the (step-invariant, VMEM-resident) weight tile, and
+    does everything else in VMEM: recompute qkv projection + q/k
+    normalization + softmax, attention backward (the six flash-style
+    matmuls), the normalization vjp, and the projection backward. dx streams
+    out per block; dW / db / dscale accumulate in VMEM-resident output
+    blocks across the sequential TPU grid and are written back once at the
+    end. HBM traffic per block: read x + g, write dx — ~3 tensors instead
+    of the ~10 the unfused XLA path moves.
+    """
+    l = wh * ww
+
+    def kernel(*refs):
+        i = 0
+        scale_ref = refs[i]; i += 1
+        x_ref = refs[i]; i += 1
+        w_ref = refs[i]; i += 1
+        b_ref = refs[i]; i += 1
+        g_ref = refs[i]; i += 1
+        mask_ref = refs[i] if has_mask else None; i += has_mask
+        dx_ref = refs[i]; i += 1
+        dw_ref = refs[i]; i += 1
+        db_ref = refs[i]; i += 1
+        dscale_ref = refs[i]; i += 1
+        dqkv_ref = refs[i]  # scratch [nc, l, 3C] bf16
+
+        c_in = x_ref.shape[-1]
+        c3 = w_ref.shape[-1]
+        c = c3 // 3
+        hd = c // heads
+        wc = nc * ww
+
+        first = (
+            (pl.program_id(0) == 0) & (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+        )
+
+        @pl.when(first)
+        def _init_accumulators():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+            db_ref[...] = jnp.zeros_like(db_ref)
+            dscale_ref[...] = jnp.zeros_like(dscale_ref)
+
+        # recompute the qkv projection exactly as the forward kernel does
+        x2 = x_ref[0].reshape(wh * wc, c_in)
+        qkv = jax.lax.dot_general(
+            x2.astype(jnp.bfloat16), w_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_ref[0]
+
+        # window both qkv and the cotangent (sublane-only transposes, ~free)
+        t = qkv.astype(jnp.bfloat16).reshape(wh, nc, ww, c3)
+        t = t.transpose(1, 0, 2, 3).reshape(nc, l, c3)
+        gw = g_ref[0].astype(jnp.bfloat16).reshape(wh, nc, ww, c)
+        gw = gw.transpose(1, 0, 2, 3).reshape(nc, l, c)
+
+        if has_mask:
+            row = pl.program_id(1)
+            on_boundary = (row == n_window_rows - 1).astype(jnp.float32)
+            mask_add = on_boundary * mask_ref[:, :]
+
+        dscales = []
+        for h in range(heads):  # static unroll; static lane slices only
+            sl = slice(h * hd, (h + 1) * hd)
+            q = t[:, :, h * hd : (h + 1) * hd].astype(jnp.float32)
+            k = t[:, :, c + h * hd : c + (h + 1) * hd].astype(jnp.float32)
+            v = t[:, :, 2 * c + h * hd : 2 * c + (h + 1) * hd]
+            g = gw[:, :, sl]
+
+            # normalization (forward parity: normalize the bf16-staged values)
+            inv_q = jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-24))
+            inv_k = jax.lax.rsqrt(jnp.maximum(jnp.sum(k * k, -1, keepdims=True), 1e-24))
+            qn = q * inv_q
+            kn = k * inv_k
+
+            scale = scale_ref[h, 0]
+            s_pre = jax.lax.dot_general(
+                qn.astype(jnp.bfloat16), kn.astype(jnp.bfloat16),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            s = s_pre * scale
+            if has_mask:
+                s = s + mask_add
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)  # [nc, L, L] fp32
+
+            p16 = p.astype(jnp.bfloat16)
+            # dv = p^T g
+            dv = jax.lax.dot_general(
+                p16, g,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            # dp = g v^T
+            dp = jax.lax.dot_general(
+                g, v,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # softmax vjp
+            dscales.append(jnp.sum(ds * s_pre))
+
+            dsb = (ds * scale).astype(jnp.bfloat16)
+            dqn = jax.lax.dot_general(
+                dsb, kn.astype(jnp.bfloat16),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            dkn = jax.lax.dot_general(
+                dsb, qn.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            # normalization vjp: dq = (dqn - qn <qn, dqn>) * inv
+            dq = (dqn - qn * jnp.sum(qn * dqn, -1, keepdims=True)) * inv_q
+            dk = (dkn - kn * jnp.sum(kn * dkn, -1, keepdims=True)) * inv_k
+
+            dqkv_ref[:, :, h * hd : (h + 1) * hd] = dq.astype(jnp.bfloat16)
+            dqkv_ref[:, :, c + h * hd : c + (h + 1) * hd] = dk.astype(jnp.bfloat16)
+            dqkv_ref[:, :, 2 * c + h * hd : 2 * c + (h + 1) * hd] = dv.astype(
+                jnp.bfloat16
+            )
+
+        # un-window dqkv back to the slab layout: [nc, L, 3C] -> [wh*wc, 3C]
+        d = dqkv_ref[...].reshape(nc, wh, ww, c3).transpose(1, 0, 2, 3)
+        d = d.reshape(wh * wc, c3)
+
+        # projection backward: dx per block; dW/db accumulated across steps
+        dx = jax.lax.dot_general(
+            d, w_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dx_ref[0] = dx.reshape(wh, wc, c_in).astype(dx_ref.dtype)
+        dw_ref[...] += jax.lax.dot_general(
+            x2.astype(jnp.bfloat16), d,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ones = jnp.ones((8, wh * wc), jnp.bfloat16)
+        db_ref[...] += jax.lax.dot_general(
+            ones, d,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == 0, 1.0, 0.0
+        )
+        vals = jnp.pad(jnp.stack(dscales), (0, 128 - len(dscales)))
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        dscale_ref[...] += jnp.where(rowi == 0, vals[None, :], 0.0)
+
+    return kernel
+
+
+def _qkv_backward(x, w_qkv, b_qkv, scale, g, mask_pattern, window, interpret,
+                  w_chunk_windows: int = 4):
+    b, h, w, c_in = x.shape
+    wh, ww = window
+    nwh, nww = h // wh, w // ww
+    heads = scale.shape[0]
+    c3 = w_qkv.shape[-1]
+    c = c3 // 3
+    hd = c // heads
+    l = wh * ww
+    wc = _pick_wc(w, ww, nww, w_chunk_windows)
+    nc = wc // ww
+    has_mask = mask_pattern is not None
+
+    grid = (b, nwh, nww // nc)
+    x_spec = pl.BlockSpec(
+        (1, wh, wc, c_in), lambda bi, r, wcix: (bi, r, wcix, 0), memory_space=pltpu.VMEM
+    )
+    g_spec = pl.BlockSpec(
+        (1, wh, wc, c), lambda bi, r, wcix: (bi, r, wcix, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((heads, 1), lambda bi, r, wcix: (0, 0), memory_space=pltpu.SMEM),
+        x_spec,
+        pl.BlockSpec((c_in, c3), lambda bi, r, wcix: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c3), lambda bi, r, wcix: (0, 0), memory_space=pltpu.VMEM),
+        g_spec,
+    ]
+    args = [
+        scale.astype(jnp.float32).reshape(heads, 1),
+        x,
+        w_qkv,
+        b_qkv.reshape(1, c3).astype(jnp.float32),
+        g,
+    ]
+    if has_mask:
+        in_specs.append(
+            pl.BlockSpec((l, l), lambda bi, r, wcix: (0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(jnp.asarray(np.asarray(mask_pattern, np.float32)))
+
+    acc_spec = lambda shape: pl.BlockSpec(  # noqa: E731 — VMEM-resident accumulator
+        shape, lambda bi, r, wcix: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    kernel = _make_qkv_bwd_kernel(wh, ww, nc, heads, nwh, has_mask)
+    n_steps = b * nwh * (nww // nc)
+    dx, dw, db, dscale = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(x_spec, acc_spec((c_in, c3)), acc_spec((8, c3)), acc_spec((8, 128))),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((c_in, c3), jnp.float32),
+            jax.ShapeDtypeStruct((8, c3), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((nc, l, c3), jnp.bfloat16)],
+        cost_estimate=pl.CostEstimate(
+            flops=(3 * 2 * wh * wc * c_in * c3 + 6 * 2 * l * l * hd * heads * nc)
+            * n_steps,
+            bytes_accessed=(b * h * w * (2 * c_in + c) + 2 * c_in * c3)
+            * x.dtype.itemsize,
+            transcendentals=b * nwh * nww * heads * l * l,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return dx, dw, db[0], dscale[0, :heads]
+
+
 @functools.lru_cache(maxsize=64)
 def _build_qkv(window, pattern_key, interpret: bool):
     mask_pattern = None
@@ -942,9 +1178,22 @@ def _build_qkv(window, pattern_key, interpret: bool):
         return fused(x, w_qkv, b_qkv, scale), (x, w_qkv, b_qkv, scale)
 
     def f_bwd(res, g):
-        # recompute qkv in XLA, reuse the grid backward kernel, then chain
-        # through the projection for dx/dW/db
         x, w_qkv, b_qkv, scale = res
+        if QKV_BWD_IMPL == "pallas":
+            # fully-fused backward: qkv recompute, attention backward,
+            # normalization vjp and projection backward in ONE kernel; dW/db
+            # accumulate in VMEM across the sequential grid
+            dx, dw, db, dscale = _qkv_backward(
+                x, w_qkv, b_qkv, scale, g, mask_pattern, window, interpret
+            )
+            return (
+                dx,
+                dw.astype(w_qkv.dtype),
+                db.astype(b_qkv.dtype),
+                dscale.astype(scale.dtype),
+            )
+        # fallback: recompute qkv in XLA, reuse the grid backward kernel,
+        # then chain through the projection for dx/dW/db
         heads = scale.shape[0]
         c = w_qkv.shape[-1] // 3
         qkv = (

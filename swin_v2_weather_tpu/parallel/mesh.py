@@ -51,6 +51,34 @@ def init_distributed(params=None) -> Tuple[int, int]:
     return jax.process_index(), jax.process_count()
 
 
+def broadcast_config(cfg: Optional[dict]) -> dict:
+    """Broadcast a plain config dict from process 0 to every process.
+
+    The HPO-sweep analog of the reference's ``broadcast_object_list``
+    (``train.py:130-139``): the wandb agent mutates params on the chief
+    only, and every other process must train with the same mutated config.
+    JSON-serialized and shipped as a uint8 array via
+    ``multihost_utils.broadcast_one_to_all`` (length first, then payload,
+    since all processes must present identical shapes). Identity on a
+    single process.
+    """
+    import json
+
+    if jax.process_count() == 1:
+        return dict(cfg or {})
+    from jax.experimental import multihost_utils
+
+    if jax.process_index() == 0:
+        payload = np.frombuffer(json.dumps(cfg, default=str).encode(), np.uint8)
+    else:
+        payload = np.zeros((0,), np.uint8)
+    n = int(multihost_utils.broadcast_one_to_all(np.int64(payload.size)))
+    buf = np.zeros(n, np.uint8)
+    buf[: payload.size] = payload[:n]
+    out = multihost_utils.broadcast_one_to_all(buf)
+    return json.loads(np.asarray(out).tobytes().decode())
+
+
 def make_mesh(
     params=None,
     devices=None,

@@ -4,69 +4,134 @@ Reference semantics (``train.py:195-206, 374-393``): a single checkpoint
 artifact holding ``{iters, epoch, model_state, optimizer_state}``, written
 every epoch (plus ``best_ckpt`` on validation improvement); the *finetune*
 path restores model weights only, while *resume* also restores the step
-counter, epoch and optimizer state.
+counter, epoch and optimizer state. Unlike the reference (whose LR lives
+inside the torch optimizer state), the host-side scheduler state (plateau
+best/patience counters, cosine epoch) is persisted explicitly.
 
-TPU-native implementation: orbax sharded checkpoints. Each checkpoint is a
-directory (atomic rename on completion); restore re-shards arrays onto the
-current mesh automatically, so checkpoints written on N chips restore on M.
-Saves are async-capable but kept synchronous here for the reference's
-blocking-save semantics; multi-host coordination is handled inside orbax.
+TPU-native implementation: orbax sharded checkpoints, written **async** —
+``AsyncCheckpointer.save`` blocks only for the device→host copy of each
+shard and streams to disk in the background, so the multi-GB flagship state
+never stalls the step loop. Each checkpoint is a directory (atomic rename
+on completion); restore is mesh-aware — the template carries the live
+``NamedSharding`` of every array, so a checkpoint written on N chips
+restores sharded onto an M-chip mesh directly (no host gather).
 """
 
 from __future__ import annotations
 
 import os
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
 
-def _checkpointer() -> ocp.Checkpointer:
-    return ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
-
-
-def save_checkpoint(path: str, state, epoch: int) -> None:
-    """Write {iters, epoch, params, opt_state} to ``path`` (a directory)."""
+def _save_payload(state, epoch: int, scheduler_state: Optional[dict]) -> dict:
     payload = {
-        "iters": np.asarray(state.step),
+        "iters": state.step,  # device arrays: orbax copies to host itself
         "epoch": np.asarray(epoch),
-        "params": jax.device_get(state.params),
-        "opt_state": jax.device_get(state.opt_state),
+        "params": state.params,
+        "opt_state": state.opt_state,
     }
-    with _checkpointer() as ckptr:
-        ckptr.save(path, payload, force=True)
+    if scheduler_state:
+        payload["scheduler"] = {k: np.asarray(v) for k, v in scheduler_state.items()}
+    return payload
+
+
+class CheckpointWriter:
+    """Async checkpoint writer; holds the background write thread.
+
+    ``save`` returns once device buffers are snapshotted to host (safe to
+    donate them into the next step); the disk write overlaps the next
+    epoch's compute. A new save waits for the previous one to commit.
+    """
+
+    def __init__(self):
+        self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+
+    def save(self, path: str, state, epoch: int, scheduler_state: Optional[dict] = None) -> None:
+        self._ckptr.wait_until_finished()
+        self._ckptr.save(
+            path, args=ocp.args.PyTreeSave(_save_payload(state, epoch, scheduler_state)),
+            force=True,
+        )
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        self._ckptr.wait_until_finished()
+        self._ckptr.close()
+
+
+def save_checkpoint(
+    path: str, state, epoch: int, scheduler_state: Optional[dict] = None
+) -> None:
+    """One-shot synchronous save (tests, export); trainer uses CheckpointWriter."""
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        ckptr.save(
+            path, args=ocp.args.PyTreeSave(_save_payload(state, epoch, scheduler_state)),
+            force=True,
+        )
 
 
 def restore_checkpoint(
     path: str,
     state,
     resuming: bool,
+    scheduler_template: Optional[dict] = None,
 ) -> Dict[str, Any]:
-    """Restore a checkpoint into a state template.
+    """Restore a checkpoint into a state template, sharded onto its mesh.
 
-    Returns {'state': TrainState, 'epoch': int}. With ``resuming`` False
-    (the finetune path) only the parameters are loaded; the optimizer state
-    and counters keep their freshly-initialized values (reference
-    ``train.py:390-393`` gates exactly these fields on ``resuming``).
+    Returns {'state': TrainState, 'epoch': int[, 'scheduler': dict]}. With
+    ``resuming`` False (the finetune path) only the parameters are loaded;
+    the optimizer state and counters keep their freshly-initialized values
+    (reference ``train.py:390-393`` gates exactly these fields on
+    ``resuming``). The template's arrays keep their live shardings, so
+    restore lands directly on the current mesh.
     """
     template = {
-        "iters": np.asarray(state.step),
+        "iters": state.step,
         "epoch": np.asarray(0),
-        "params": jax.device_get(state.params),
-        "opt_state": jax.device_get(state.opt_state),
+        "params": state.params,
+        "opt_state": state.opt_state,
     }
-    with _checkpointer() as ckptr:
-        payload = ckptr.restore(path, args=ocp.args.PyTreeRestore(item=template))
+    if scheduler_template:
+        template["scheduler"] = {
+            k: np.asarray(v) for k, v in scheduler_template.items()
+        }
+    def _restore(ckptr, item):
+        # ArrayRestoreArgs carrying each leaf's live sharding => restore
+        # lands sharded on the current mesh, no host gather. partial_restore:
+        # ignore on-disk keys absent from the template (e.g. the finetune
+        # path never asks for the saved scheduler state).
+        restore_args = ocp.checkpoint_utils.construct_restore_args(item)
+        return ckptr.restore(
+            path,
+            args=ocp.args.PyTreeRestore(
+                item=item, restore_args=restore_args, partial_restore=True
+            ),
+        )
+
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        try:
+            payload = _restore(ckptr, template)
+        except (KeyError, ValueError):
+            # checkpoint written without scheduler state (older layout)
+            template.pop("scheduler", None)
+            payload = _restore(ckptr, template)
     new_state = state.replace(params=payload["params"])
-    epoch = 0
+    out: Dict[str, Any] = {"epoch": 0}
     if resuming:
         new_state = new_state.replace(
             step=jax.numpy.asarray(payload["iters"]), opt_state=payload["opt_state"]
         )
-        epoch = int(payload["epoch"])
-    return {"state": new_state, "epoch": epoch}
+        out["epoch"] = int(payload["epoch"])
+        if "scheduler" in payload:
+            out["scheduler"] = {k: float(v) for k, v in payload["scheduler"].items()}
+    out["state"] = new_state
+    return out
 
 
 def latest_checkpoint_exists(path: str) -> bool:

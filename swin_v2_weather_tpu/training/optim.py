@@ -73,6 +73,12 @@ class CosineAnnealingLR:
         self.epoch += 1
         return self.lr
 
+    def state_dict(self) -> dict:
+        return {"epoch": float(self.epoch)}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.epoch = int(state.get("epoch", self.epoch))
+
 
 class ReduceLROnPlateau:
     """Torch ``ReduceLROnPlateau(factor=0.2, patience=5, mode='min')`` twin
@@ -96,6 +102,14 @@ class ReduceLROnPlateau:
                 self.bad_epochs = 0
         return self.lr
 
+    def state_dict(self) -> dict:
+        return {"lr": self.lr, "best": self.best, "bad_epochs": float(self.bad_epochs)}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.lr = float(state.get("lr", self.lr))
+        self.best = float(state.get("best", self.best))
+        self.bad_epochs = int(state.get("bad_epochs", self.bad_epochs))
+
 
 class ConstantLR:
     def __init__(self, base_lr: float):
@@ -103,6 +117,12 @@ class ConstantLR:
 
     def step(self, metric: Optional[float] = None) -> float:
         return self.lr
+
+    def state_dict(self) -> dict:
+        return {}
+
+    def load_state_dict(self, state: dict) -> None:
+        pass
 
 
 def build_scheduler(params, last_epoch: int = -1):

@@ -85,9 +85,14 @@ def build_train_step(
     def step_fn(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        # global grad norm: the monitoring role of the reference's
+        # wandb.watch(model) histograms (train.py:172-173) at scalar cost —
+        # fused into the same program, no extra host sync
+        grad_norm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return state.replace(step=state.step + 1, params=params, opt_state=opt_state), loss
+        new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+        return new_state, {"loss": loss, "grad_norm": grad_norm}
 
     repl = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)

@@ -75,6 +75,14 @@ class Trainer:
     # ------------------------------------------------------------------
     def build(self):
         params = self.params
+        if self.sweep_id is not None and self.process_count > 1:
+            # the wandb agent mutated the chief's params only — every process
+            # must see the same trial config (reference train.py:130-139)
+            from swin_v2_weather_tpu.parallel.mesh import broadcast_config
+
+            mutated = broadcast_config(_plain_dict(params) if self.is_chief else None)
+            if not self.is_chief:
+                self.params.update_params(mutated)
         params["in_channels"] = np.asarray(params["in_channels"])
         params["out_channels"] = np.asarray(params["out_channels"])
         n_in, n_out = derived_channel_counts(params)
@@ -166,18 +174,33 @@ class Trainer:
         if params["resuming"]:
             if self.log_to_screen:
                 logger.info("Loading checkpoint %s", params["checkpoint_path"])
-            restored = ckpt.restore_checkpoint(params["checkpoint_path"], self.state, resuming=True)
+            restored = ckpt.restore_checkpoint(
+                params["checkpoint_path"], self.state, resuming=True,
+                scheduler_template=build_scheduler(params).state_dict(),
+            )
             self.state = restored["state"]
             self.start_epoch = restored["epoch"]
 
         self.epoch = self.start_epoch
         self.scheduler = build_scheduler(params, last_epoch=self.start_epoch - 1)
+        if params["resuming"] and "scheduler" in restored:
+            # plateau scheduler keeps its reduced LR / best / patience across
+            # restarts (the reference keeps LR inside the torch opt state)
+            self.scheduler.load_state_dict(restored["scheduler"])
+        # host-side mirror of state.step: reading the device scalar every
+        # iteration would block on the previous step's output
+        self.host_step = int(self.state.step)
 
         # validation denormalization stds (reference train.py:306-308)
         if os.path.exists(str(params.global_stds_path)):
             self.valid_stds = np.load(params.global_stds_path)[0, params["out_channels"], 0, 0]
-        else:  # synthetic data is already unit-variance
-            self.valid_stds = np.ones(n_out, dtype=np.float32)
+        elif str(getattr(params, "data_loader_config", "")) == "synthetic":
+            self.valid_stds = np.ones(n_out, dtype=np.float32)  # unit-variance fields
+        else:
+            raise FileNotFoundError(
+                f"global_stds_path {params.global_stds_path!r} missing — "
+                "validation RMSE denormalization would be silently wrong"
+            )
 
         self.sink = MetricsSink(
             exp_dir,
@@ -195,6 +218,7 @@ class Trainer:
 
         self.profiler = StepProfiler(params, exp_dir, enabled=self.is_chief)
         self.step_timer = StepTimer()
+        self.ckpt_writer = ckpt.CheckpointWriter() if params.save_checkpoint else None
 
         if self.log_to_screen:
             logger.info("Number of parameters = %d", self.count_parameters())
@@ -226,10 +250,18 @@ class Trainer:
 
             self.scheduler.step(valid_logs["valid_loss"])
 
-            if self.is_chief and params.save_checkpoint:
-                ckpt.save_checkpoint(params["checkpoint_path"], self.state, self.epoch)
+            if self.ckpt_writer is not None:
+                # async: blocks only for the device->host snapshot; the disk
+                # write overlaps the next epoch (single-controller orbax save
+                # coordinates all processes, so no is_chief gate)
+                sched_state = self.scheduler.state_dict()
+                self.ckpt_writer.save(
+                    params["checkpoint_path"], self.state, self.epoch, sched_state
+                )
                 if valid_logs["valid_loss"] <= best_valid_loss:
-                    ckpt.save_checkpoint(params["best_checkpoint_path"], self.state, self.epoch)
+                    self.ckpt_writer.save(
+                        params["best_checkpoint_path"], self.state, self.epoch, sched_state
+                    )
                     best_valid_loss = valid_logs["valid_loss"]
 
             self.sink.log(
@@ -245,6 +277,8 @@ class Trainer:
                     "Train loss: %s. Valid loss: %s",
                     train_logs["loss"], valid_logs["valid_loss"],
                 )
+        if self.ckpt_writer is not None:
+            self.ckpt_writer.close()
         self.profiler.close()
         self.sink.close()
 
@@ -259,12 +293,20 @@ class Trainer:
             depth=int(getattr(self.params, "prefetch_depth", 2)),
         ):
             self.step_timer.tick()
-            self.profiler.step(int(self.state.step))
-            self.state, loss = self.train_step(self.state, batch, step_rng)
-            losses.append(loss)  # device array; fetched lazily below
-        # one host sync per epoch
-        losses = [float(l) for l in losses]
-        logs = {"loss": float(np.mean(losses)), **self.step_timer.reset()}
+            self.profiler.step(self.host_step)
+            self.state, metrics = self.train_step(self.state, batch, step_rng)
+            self.host_step += 1
+            losses.append(metrics)  # device arrays; fetched lazily below
+        # one host sync per epoch (device_get batches the transfers)
+        fetched = jax.device_get(losses)
+        loss_arr = np.asarray([m["loss"] for m in fetched], np.float64)
+        gnorm_arr = np.asarray([m["grad_norm"] for m in fetched], np.float64)
+        logs = {
+            "loss": float(np.mean(loss_arr)) if loss_arr.size else 0.0,
+            "grad_norm": float(np.mean(gnorm_arr)) if gnorm_arr.size else 0.0,
+            "grad_norm_max": float(np.max(gnorm_arr)) if gnorm_arr.size else 0.0,
+            **self.step_timer.reset(),
+        }
         return time.time() - tr_start, logs
 
     def validate_one_epoch(self):
@@ -276,6 +318,7 @@ class Trainer:
             outs.append(self.eval_step(self.state.params, batch))
             last_batch = batch
         steps = max(len(outs), 1)
+        outs = jax.device_get(outs)  # one batched host sync for the epoch
         loss_sum = sum(float(o["loss"]) for o in outs)
         rmse_sum = np.sum([np.asarray(o["rmse"], np.float64) for o in outs], axis=0)
         valid_rmse = rmse_sum / steps * np.asarray(self.valid_stds, np.float64)

@@ -64,6 +64,36 @@ class TestInferenceCli:
         assert "acc" in out  # time_means.npy shipped in the registry
         assert out["n_ics"] == 2
 
+    def test_dt2_start_time_is_frame_cadence(self, registry_and_data, tmp_path):
+        """dt strides which frames become samples; the archive stays 6-hourly.
+
+        Regression: the IC timestamp must be 6h * local FRAME index, not
+        6h * dt * index (cf. data/era5.py zenith timestamps).
+        """
+        import shutil
+
+        import yaml
+
+        from swin_v2_weather_tpu.inference.cli import run as cli_run
+
+        reg, data, root = registry_and_data
+        reg2 = str(tmp_path / "registry_dt2")
+        shutil.copytree(reg, reg2)
+        hp = os.path.join(reg2, "hyperparams.yaml")
+        with open(hp) as f:
+            params = yaml.safe_load(f)
+        params["dt"] = 2
+        with open(hp, "w") as f:
+            yaml.safe_dump(params, f)
+
+        args = argparse.Namespace(
+            registry=reg2, data=data, ics=[3], steps=2, output=str(tmp_path / "s.json")
+        )
+        out = cli_run(args)
+        # each frame is a sample (dt strides targets only): sample 3 = frame 3
+        # = 18h after Jan 1. The old bug computed 6h*dt*idx = 36h.
+        assert out["ics"][0]["start_time"] == "2017-01-01T18:00:00"
+
     def test_read_output_frame_matches_getitem(self, registry_and_data):
         from swin_v2_weather_tpu.data.era5 import Era5Dataset
 

@@ -230,8 +230,8 @@ class TestStepSemantics:
             state = TrainState.create(params_copy, opt)
             step = build_train_step(model, loss_obj, pre, opt, mesh)
             batch = {k: jax.device_put(v, batch_sharding(mesh)) for k, v in batch_np.items()}
-            _, loss = step(state, batch, jax.random.key(1))
-            losses[n_dev] = float(loss)
+            _, metrics = step(state, batch, jax.random.key(1))
+            losses[n_dev] = float(metrics["loss"])
         assert losses[1] == pytest.approx(8.0 * losses[8], rel=1e-4)
 
 
@@ -261,3 +261,69 @@ class TestCheckpointRoundtrip:
         ft = restore_checkpoint(path, fresh, resuming=False)
         assert int(ft["state"].step) == 0
         np.testing.assert_array_equal(np.asarray(ft["state"].params["a"]), np.arange(8))
+
+    def test_scheduler_state_survives_resume(self, tmp_path):
+        """ReduceLROnPlateau keeps its reduced LR / best / patience across a
+        restart (the reference keeps LR inside the torch optimizer state)."""
+        from swin_v2_weather_tpu.training.checkpoint import restore_checkpoint, save_checkpoint
+        from swin_v2_weather_tpu.training.optim import ReduceLROnPlateau, build_optimizer
+        from swin_v2_weather_tpu.training.step import TrainState
+
+        class P(dict):
+            __getattr__ = dict.get
+
+        opt = build_optimizer(P(optimizer_type="adam", lr=1e-3))
+        state = TrainState.create({"a": jnp.ones(4)}, opt)
+
+        sched = ReduceLROnPlateau(1e-3, factor=0.2, patience=1)
+        for metric in (3.0, 4.0, 5.0):  # 2 bad epochs -> LR cut to 2e-4
+            sched.step(metric)
+        assert sched.lr == pytest.approx(2e-4)
+        sched.step(6.0)  # one bad epoch pending
+        path = str(tmp_path / "ck")
+        save_checkpoint(path, state, epoch=4, scheduler_state=sched.state_dict())
+
+        fresh_sched = ReduceLROnPlateau(1e-3, factor=0.2, patience=1)
+        restored = restore_checkpoint(
+            path, state, resuming=True, scheduler_template=fresh_sched.state_dict()
+        )
+        fresh_sched.load_state_dict(restored["scheduler"])
+        assert fresh_sched.lr == pytest.approx(2e-4)
+        assert fresh_sched.best == pytest.approx(3.0)
+        assert fresh_sched.bad_epochs == 1
+        # next bad epoch triggers the cut exactly as it would have pre-restart
+        fresh_sched.step(7.0)
+        assert fresh_sched.lr == pytest.approx(4e-5)
+
+    def test_restore_lands_on_current_mesh(self, tmp_path, mesh8):
+        """A checkpoint restores sharded onto a different mesh layout (no
+        host gather): template shardings drive orbax's ArrayRestoreArgs."""
+        from jax.sharding import NamedSharding, PartitionSpec as P_
+        from swin_v2_weather_tpu.parallel.mesh import make_mesh
+        from swin_v2_weather_tpu.training.checkpoint import restore_checkpoint, save_checkpoint
+        from swin_v2_weather_tpu.training.optim import build_optimizer
+        from swin_v2_weather_tpu.training.step import TrainState
+
+        class P(dict):
+            __getattr__ = dict.get
+
+        opt = build_optimizer(P(optimizer_type="adam", lr=1e-3))
+        params = {"w": jnp.arange(64, dtype=jnp.float32).reshape(8, 8)}
+
+        # save replicated over a [4, 2] mesh
+        mesh_a = make_mesh(P(mesh_shape=[4, 2]), devices=jax.devices()[:8])
+        repl_a = NamedSharding(mesh_a, P_())
+        state_a = TrainState.create(jax.device_put(params, repl_a), opt)
+        path = str(tmp_path / "ck")
+        save_checkpoint(path, state_a, epoch=1)
+
+        # restore onto a [2, 4] mesh with the weight SHARDED over 'data'
+        mesh_b = make_mesh(P(mesh_shape=[2, 4]), devices=jax.devices()[:8])
+        sharded_b = NamedSharding(mesh_b, P_("data"))
+        template = TrainState.create(
+            {"w": jax.device_put(jnp.zeros((8, 8)), sharded_b)}, opt
+        )
+        restored = restore_checkpoint(path, template, resuming=True)
+        w = restored["state"].params["w"]
+        assert w.sharding == sharded_b
+        np.testing.assert_array_equal(np.asarray(w), np.arange(64).reshape(8, 8))

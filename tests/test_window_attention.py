@@ -186,6 +186,114 @@ class TestGridKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
 
 
+class TestQkvKernel:
+    """v3: qkv-projection-fused kernel + fully-fused Pallas backward."""
+
+    WH, WW = 3, 4
+    H, W = 9, 24
+    C_IN, C = 24, HEADS * D  # c_in != c to catch transposed-projection bugs
+
+    @pytest.fixture
+    def xwbs(self, rng):
+        x = jnp.asarray(rng.standard_normal((B, self.H, self.W, self.C_IN)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((self.C_IN, 3 * self.C)) * 0.2, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(3 * self.C) * 0.1, jnp.float32)
+        scale = jnp.asarray(np.exp(rng.standard_normal(HEADS) * 0.1 + 1.0), jnp.float32)
+        return x, w, b, scale
+
+    def _reference(self, x, w, b, scale, patt):
+        from swin_v2_weather_tpu.ops.window_attention import reference_attention_grid
+
+        qkv = jnp.einsum("bhwc,cd->bhwd", x, w) + b
+        c = self.C
+        q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
+        return reference_attention_grid(
+            q, k, v, scale, None, patt, (self.WH, self.WW)
+        )
+
+    @pytest.mark.parametrize("use_mask", [False, True])
+    def test_forward_matches_reference(self, xwbs, use_mask):
+        from swin_v2_weather_tpu.ops.window_attention import fused_window_attention_qkv
+
+        x, w, b, scale = xwbs
+        patt = (
+            make_shift_mask((self.H, self.W), (self.WH, self.WW), (1, 2))[-1]
+            if use_mask
+            else None
+        )
+        out = fused_window_attention_qkv(x, w, b, scale, (self.WH, self.WW), patt)
+        ref = self._reference(x, w, b, scale, patt)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2)
+
+    @pytest.mark.parametrize("bwd_impl", ["pallas", "xla"])
+    @pytest.mark.parametrize("use_mask", [False, True])
+    def test_backward_matches_reference(self, xwbs, use_mask, bwd_impl, monkeypatch):
+        """dx, dW, db, dscale from the fused backward kernel vs the fp32
+        XLA composition's jax.grad."""
+        from swin_v2_weather_tpu.ops import window_attention as wa
+
+        monkeypatch.setattr(wa, "QKV_BWD_IMPL", bwd_impl)
+        x, w, b, scale = xwbs
+        patt = (
+            make_shift_mask((self.H, self.W), (self.WH, self.WW), (1, 2))[-1]
+            if use_mask
+            else None
+        )
+
+        def f(x, w, b, s):
+            out = wa.fused_window_attention_qkv(x, w, b, s, (self.WH, self.WW), patt)
+            return jnp.sum(out * out)
+
+        def fr(x, w, b, s):
+            out = self._reference(x, w, b, s, patt)
+            return jnp.sum(out * out)
+
+        g = jax.grad(f, argnums=(0, 1, 2, 3))(x, w, b, scale)
+        gr = jax.grad(fr, argnums=(0, 1, 2, 3))(x, w, b, scale)
+        # dW/db sum ~2k bf16-rounded terms per element -> larger noise
+        tols = {
+            "dW": dict(atol=4e-1, rtol=3e-2),
+            "db": dict(atol=4e-1, rtol=3e-2),
+        }
+        for name, a, b_ in zip(("dx", "dW", "db", "dscale"), g, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), err_msg=name,
+                **tols.get(name, dict(atol=8e-2, rtol=5e-3)),
+            )
+
+    def test_bwd_impls_agree(self, xwbs):
+        """The fused-kernel backward and the XLA-recompute backward compute
+        the same gradients (tight tolerance: same bf16 staging)."""
+        from swin_v2_weather_tpu.ops import window_attention as wa
+
+        x, w, b, scale = xwbs
+        patt = make_shift_mask((self.H, self.W), (self.WH, self.WW), (1, 2))[-1]
+
+        def grads(impl):
+            old = wa.QKV_BWD_IMPL
+            wa.QKV_BWD_IMPL = impl
+            try:
+                def f(x, w, b, s):
+                    out = wa.fused_window_attention_qkv(
+                        x, w, b, s, (self.WH, self.WW), patt
+                    )
+                    return jnp.sum(out * out)
+
+                return jax.grad(f, argnums=(0, 1, 2, 3))(x, w, b, scale)
+            finally:
+                wa.QKV_BWD_IMPL = old
+
+        # the impls stage qkv at different precisions before normalization
+        # (pallas: bf16, matching the forward kernel; xla: fp32), so exact
+        # agreement is not expected — only same-noise-class agreement
+        tols = {"dW": dict(atol=2e-1, rtol=2e-2), "db": dict(atol=2e-1, rtol=2e-2)}
+        for name, a, b_ in zip(("dx", "dW", "db", "dscale"), grads("pallas"), grads("xla")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), err_msg=name,
+                **tols.get(name, dict(atol=5e-2, rtol=2e-3)),
+            )
+
+
 class TestModelParity:
     def test_pallas_equals_xla_model(self):
         kw = dict(

@@ -33,8 +33,10 @@ def main():
 
     if args.sweep_id and trainer.is_chief:
         # HPO sweep: the wandb agent mutates params before each trial
-        # (reference train.py:407-408); multi-host broadcast of the mutated
-        # params happens inside Trainer.build via the metrics sink config.
+        # (reference train.py:407-408). Non-chief processes call
+        # build_and_launch directly and receive the mutated params inside
+        # Trainer.build via parallel.mesh.broadcast_config (the reference's
+        # broadcast_object_list, train.py:130-139).
         try:
             import wandb
         except ImportError as e:

@@ -226,7 +226,12 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        from jax.ad_checkpoint import checkpoint_name
+
         x = _dense(self.hidden_features, self.in_features, dtype=self.dtype, name="fc1")(x)
+        # saved only under remat_policy='mlp_fc1' (backward recomputes just
+        # the gelu); other policies ignore the name
+        x = checkpoint_name(x, "mlp_fc1")
         x = self.act(x)
         x = nn.Dropout(self.drop[0])(x, deterministic=deterministic)
         x = _dense(self.out_features, self.hidden_features, dtype=self.dtype, name="fc2")(x)
@@ -329,6 +334,11 @@ class WindowAttention(nn.Module):
                 x, w_b[0].astype(self.dtype or x.dtype), w_b[1], scale,
                 self.window_size, mask_pattern=pattern,
             )
+            from jax.ad_checkpoint import checkpoint_name
+
+            # saving this under remat_policy='mlp' means backward never
+            # re-runs the attention kernel (the proj vjp needs its input)
+            out = checkpoint_name(out, "attn_kernel_out")
             out = _dense(c, c, dtype=self.dtype, name="proj")(out)
             out = nn.Dropout(self.drop_proj)(out, deterministic=deterministic)
             return out
@@ -386,6 +396,9 @@ class WindowAttention(nn.Module):
                 )
             out = out.transpose(0, 2, 1, 3).reshape(bw, l, c)
 
+        from jax.ad_checkpoint import checkpoint_name
+
+        out = checkpoint_name(out, "attn_kernel_out")
         out = _dense(c, c, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.drop_proj)(out, deterministic=deterministic)
         return out
@@ -473,6 +486,7 @@ class SwinBlock(nn.Module):
         y = checkpoint_name(y, "attn_out")
         y = self._norm("norm1")(y).astype(x.dtype)
         x = x + DropPath(name="drop_path1")(y, drop_path_rate, deterministic)
+        x = checkpoint_name(x, "block_mid")
 
         # ---- MLP branch ----
         y = Mlp(
@@ -483,6 +497,7 @@ class SwinBlock(nn.Module):
             dtype=self.dtype,
             name="mlp",
         )(x, deterministic=deterministic)
+        y = checkpoint_name(y, "mlp_out")
         y = self._norm("norm2")(y).astype(x.dtype)
         x = x + DropPath(name="drop_path2")(y, drop_path_rate, deterministic)
         return x
@@ -691,6 +706,29 @@ class SwinTransformerV2(nn.Module):
                     # trade ~100 MB/block of HBM for skipping the attention
                     # branch's forward recompute during backward
                     policy = jax.checkpoint_policies.save_only_these_names("attn_out")
+                elif self.remat_policy == "mlp":
+                    # min-recompute policy: save exactly the four ~100 MB
+                    # tensors per block whose absence forces expensive
+                    # recompute (attention-kernel output = proj input, norm1
+                    # input, post-attention residual = fc1 input, fc2 output
+                    # = norm2 input). Backward then re-runs only fc1 + gelu
+                    # (~3.7 of the 11.7 TFLOP full-forward recompute) and
+                    # cheap elementwise ops, at ~0.4 GB/block of HBM — the
+                    # wide mlp hidden tensors are never stored. (An exclude-
+                    # list policy was tried first and OOMed at 33 GB: "save
+                    # anything except" also keeps every fp32 upcast and roll
+                    # copy.)
+                    policy = jax.checkpoint_policies.save_only_these_names(
+                        "attn_kernel_out", "attn_out", "block_mid", "mlp_out"
+                    )
+                elif self.remat_policy == "mlp_fc1":
+                    # like 'mlp' but also saves the 400 MB/block fc1 output:
+                    # backward recomputes only the gelu. +4.8 GB HBM at
+                    # flagship bs1 for ~46 ms less recompute.
+                    policy = jax.checkpoint_policies.save_only_these_names(
+                        "attn_kernel_out", "attn_out", "block_mid", "mlp_out",
+                        "mlp_fc1",
+                    )
                 body = nn.remat(body, prevent_cse=False, policy=policy)
             scanned = nn.scan(
                 body,

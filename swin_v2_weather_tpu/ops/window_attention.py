@@ -24,11 +24,13 @@ and written once each way. This kernel keeps the logits in VMEM:
     key columns are masked with -1e30 before the softmax, padded query rows
     are sliced off by the wrapper.
 
-Two generations of the kernel live here:
+Three generations of the kernel live here, all with handwritten Pallas
+backwards (the XLA recompute VJPs of round 1 are retired):
 
   * **v1** (``fused_window_attention``): consumes pre-windowed
-    ``[B*nW, heads, L, D]`` tensors; backward recomputes through a pure-XLA
-    reference implementation.
+    ``[B*nW, heads, L, D]`` tensors; backward is a flash-style kernel in the
+    same layout (normalization + its vjp in-kernel, d(scale)/d(bias) in
+    VMEM-resident accumulators).
   * **v2** (``fused_window_attention_grid``) — the production path: consumes
     q/k/v in the model's natural NHWC grid layout ``[B, H, W, C]`` and does
     the windowing *inside* the kernel via BlockSpec indexing, eliminating
@@ -39,10 +41,10 @@ Two generations of the kernel live here:
     the linear qkv projection, so shifted blocks roll the qkv tensor once.
     q/k L2-normalization (and its vjp) stays in XLA — elementwise work the
     compiler fuses, expressed with layout-preserving head-segment matmuls.
-    The bias-free backward (all flagship configs) is a handwritten Pallas
-    kernel that recomputes the softmax in VMEM and emits dqn/dkn/dv plus
-    per-step d(scale) partials; the rel-pos (bias) case falls back to an
-    XLA recompute VJP.
+    The backward is a handwritten Pallas kernel that recomputes the softmax
+    in VMEM and emits dqn/dkn/dv plus per-step d(scale) partials; in the
+    rel-pos (CPB bias) case the window-shared ``[heads, L, L]`` d(bias)
+    accumulates in a VMEM-resident block across the sequential grid.
 
 Dropout on attention probabilities is not fused; callers fall back to the
 XLA path when ``attn_drop > 0`` in training (the flagship configs train with
@@ -241,7 +243,189 @@ def _pallas_forward(q, k, v, scale, bias, mask_pattern, window_grid, interpret):
 
 
 # ---------------------------------------------------------------------------
-# public API: custom-VJP wrapper with recompute backward
+# v1 backward: handwritten flash-style kernel in the windowed layout
+# (normalization + its vjp in-kernel, since the v1 forward normalizes
+# in-kernel too); dscale/dbias accumulate in VMEM-resident blocks
+# ---------------------------------------------------------------------------
+
+
+def _make_v1_bwd_kernel(seq_len: int, seq_pad: int, n_window_rows: int,
+                        has_bias: bool, has_mask: bool):
+    col_mask_needed = seq_pad > seq_len
+
+    def kernel(*refs):
+        i = 0
+        scale_ref = refs[i]; i += 1
+        q_ref = refs[i]; i += 1
+        k_ref = refs[i]; i += 1
+        v_ref = refs[i]; i += 1
+        g_ref = refs[i]; i += 1
+        bias_ref = refs[i] if has_bias else None; i += has_bias
+        mask_ref = refs[i] if has_mask else None; i += has_mask
+        dq_ref = refs[i]; i += 1
+        dk_ref = refs[i]; i += 1
+        dv_ref = refs[i]; i += 1
+        dscale_ref = refs[i]; i += 1
+        dbias_ref = refs[i] if has_bias else None
+
+        h = pl.program_id(1)
+        first = (pl.program_id(0) == 0) & (h == 0)
+
+        @pl.when(first)
+        def _init_accumulators():
+            dscale_ref[...] = jnp.zeros_like(dscale_ref)
+            if has_bias:
+                dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+        q = q_ref[:, 0, :, :].astype(jnp.float32)  # [TG, Lp, D]
+        k = k_ref[:, 0, :, :].astype(jnp.float32)
+        v = v_ref[:, 0, :, :]
+        g = g_ref[:, 0, :, :].astype(jnp.bfloat16)
+
+        inv_q = jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-24))
+        inv_k = jax.lax.rsqrt(jnp.maximum(jnp.sum(k * k, -1, keepdims=True), 1e-24))
+        qn = q * inv_q
+        kn = k * inv_k
+
+        scale = scale_ref[h, 0]
+        s_pre = jax.lax.dot_general(
+            qn.astype(jnp.bfloat16), kn.astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s = s_pre * scale
+        if has_bias:
+            s = s + bias_ref[0]
+        if has_mask:
+            row = pl.program_id(0) % n_window_rows
+            on_boundary = (row == n_window_rows - 1).astype(jnp.float32)
+            s = s + on_boundary * mask_ref[:, :]
+        if col_mask_needed:
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, seq_pad, seq_pad), 2)
+            s = jnp.where(col >= seq_len, _NEG_INF, s)
+
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+        p16 = p.astype(jnp.bfloat16)
+        dv = jax.lax.dot_general(
+            p16, g,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            g, v.astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # softmax vjp
+
+        # d(scale) partial for this head at accumulator slot [0, h]
+        val = jnp.sum(ds * s_pre)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        coli = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        dscale_ref[...] += jnp.where((rowi == 0) & (coli == h), val, 0.0)
+        if has_bias:
+            dbias_ref[h] += jnp.sum(ds, axis=0)
+
+        dsb = (ds * scale).astype(jnp.bfloat16)
+        dqn = jax.lax.dot_general(
+            dsb, kn.astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dkn = jax.lax.dot_general(
+            dsb, qn.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # normalization vjp (in-kernel, matching the in-kernel forward norm)
+        dq = (dqn - qn * jnp.sum(qn * dqn, -1, keepdims=True)) * inv_q
+        dk = (dkn - kn * jnp.sum(kn * dkn, -1, keepdims=True)) * inv_k
+
+        dq_ref[:, 0, :, :] = dq.astype(dq_ref.dtype)
+        dk_ref[:, 0, :, :] = dk.astype(dk_ref.dtype)
+        dv_ref[:, 0, :, :] = dv.astype(dv_ref.dtype)
+
+    return kernel
+
+
+def _v1_backward(q, k, v, scale, g, bias, mask_pattern, window_grid, interpret):
+    bw, heads, l, d = q.shape
+    nwh, nww = window_grid
+    lp = _round_up(l, 16)
+    has_bias = bias is not None
+    has_mask = mask_pattern is not None
+
+    pad = [(0, 0), (0, 0), (0, lp - l), (0, 0)]
+    qp = jnp.pad(q, pad)
+    kp = jnp.pad(k, pad)
+    vp = jnp.pad(v, pad)
+    gp = jnp.pad(g, pad)
+
+    grid = (bw // nww, heads)
+    qkv_spec = pl.BlockSpec(
+        (nww, 1, lp, d), lambda i, h: (i, h, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((heads, 1), lambda i, h: (0, 0), memory_space=pltpu.SMEM),
+        qkv_spec, qkv_spec, qkv_spec, qkv_spec,
+    ]
+    args = [scale.astype(jnp.float32).reshape(heads, 1), qp, kp, vp, gp]
+    if has_bias:
+        biasp = jnp.pad(bias.astype(jnp.float32), [(0, 0), (0, lp - l), (0, lp - l)])
+        in_specs.append(
+            pl.BlockSpec((1, lp, lp), lambda i, h: (h, 0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(biasp)
+    if has_mask:
+        patt = np.zeros((lp, lp), np.float32)
+        patt[:l, :l] = np.asarray(mask_pattern, np.float32)
+        in_specs.append(
+            pl.BlockSpec((lp, lp), lambda i, h: (0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(jnp.asarray(patt))
+
+    acc = lambda shape: pl.BlockSpec(  # noqa: E731 — resident accumulator
+        shape, lambda i, h: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    out_specs = [qkv_spec, qkv_spec, qkv_spec, acc((8, 128))]
+    out_shape = [
+        jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        jax.ShapeDtypeStruct(kp.shape, k.dtype),
+        jax.ShapeDtypeStruct(vp.shape, v.dtype),
+        jax.ShapeDtypeStruct((8, 128), jnp.float32),
+    ]
+    if has_bias:
+        out_specs.append(acc((heads, lp, lp)))
+        out_shape.append(jax.ShapeDtypeStruct((heads, lp, lp), jnp.float32))
+
+    kernel = _make_v1_bwd_kernel(l, lp, nwh, has_bias, has_mask)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * 2 * nww * lp * lp * d * grid[0] * grid[1],
+            bytes_accessed=8 * bw * heads * lp * d * qp.dtype.itemsize,
+            transcendentals=grid[0] * grid[1] * nww * lp * lp,
+        ),
+        interpret=interpret,
+    )(*args)
+    dq = outs[0][:, :, :l, :]
+    dk = outs[1][:, :, :l, :]
+    dv = outs[2][:, :, :l, :]
+    dscale = outs[3][0, :heads].astype(scale.dtype)
+    if has_bias:
+        return dq, dk, dv, dscale, outs[4][:, :l, :l].astype(bias.dtype)
+    return dq, dk, dv, dscale
+
+
+# ---------------------------------------------------------------------------
+# public API: custom-VJP wrapper (handwritten Pallas backward, both cases)
 # ---------------------------------------------------------------------------
 
 
@@ -257,9 +441,6 @@ def _build(nwh: int, nww: int, has_bias: bool, pattern_key, interpret: bool):
             q, k, v, scale, bias, mask_pattern, (nwh, nww), interpret
         )
 
-    def ref_impl(q, k, v, scale, bias):
-        return reference_attention(q, k, v, scale, bias, mask_pattern, (nwh, nww))
-
     if has_bias:
 
         @jax.custom_vjp
@@ -270,8 +451,10 @@ def _build(nwh: int, nww: int, has_bias: bool, pattern_key, interpret: bool):
             return fwd_impl(q, k, v, scale, bias), (q, k, v, scale, bias)
 
         def fused_bwd(res, g):
-            _, vjp = jax.vjp(ref_impl, *res)
-            return vjp(g)
+            q, k, v, scale, bias = res
+            return _v1_backward(
+                q, k, v, scale, g, bias, mask_pattern, (nwh, nww), interpret
+            )
 
         fused.defvjp(fused_fwd, fused_bwd)
         return fused
@@ -285,8 +468,9 @@ def _build(nwh: int, nww: int, has_bias: bool, pattern_key, interpret: bool):
 
     def fused4_bwd(res, g):
         q, k, v, scale = res
-        _, vjp = jax.vjp(lambda q_, k_, v_, s_: ref_impl(q_, k_, v_, s_, None), q, k, v, scale)
-        return vjp(g)
+        return _v1_backward(
+            q, k, v, scale, g, None, mask_pattern, (nwh, nww), interpret
+        )
 
     fused4.defvjp(fused4_fwd, fused4_bwd)
     return fused4
@@ -452,13 +636,16 @@ def _grid_forward(q, k, v, scale, bias, mask_pattern, window, interpret,
 
 
 def _make_grid_bwd_kernel(wh: int, ww: int, nc: int, group: int,
-                          n_window_rows: int, has_mask: bool):
-    """Backward for the bias-free grid kernel.
+                          n_window_rows: int, has_bias: bool, has_mask: bool):
+    """Backward for the grid kernel (bias-free and CPB-bias cases).
 
     Recomputes each window's softmax in VMEM and emits dq/dk/dv in grid
     layout plus a per-step, per-head partial of d(scale) (padded to an
     (8, 128) tile; the wrapper reduces it). Six MXU matmuls per head per
-    step — the classic flash-attention backward shape.
+    step — the classic flash-attention backward shape. With bias, the
+    [heads, L, L] d(bias) accumulates in a VMEM-resident output block
+    across the sequential TPU grid (the bias is shared by every window, so
+    its cotangent is the sum of ds over all grid steps).
     """
     l = wh * ww
 
@@ -469,11 +656,25 @@ def _make_grid_bwd_kernel(wh: int, ww: int, nc: int, group: int,
         k_ref = refs[i]; i += 1
         v_ref = refs[i]; i += 1
         g_ref = refs[i]; i += 1
+        bias_ref = refs[i] if has_bias else None; i += has_bias
         mask_ref = refs[i] if has_mask else None; i += has_mask
         dq_ref = refs[i]; i += 1
         dk_ref = refs[i]; i += 1
         dv_ref = refs[i]; i += 1
-        dscale_ref = refs[i]
+        dscale_ref = refs[i]; i += 1
+        dbias_ref = refs[i] if has_bias else None
+
+        if has_bias:
+            first = (
+                (pl.program_id(0) == 0)
+                & (pl.program_id(1) == 0)
+                & (pl.program_id(2) == 0)
+                & (pl.program_id(3) == 0)
+            )
+
+            @pl.when(first)
+            def _init_dbias():
+                dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
         gc = q_ref.shape[-1]  # group * hd
         hd = gc // group
@@ -509,6 +710,8 @@ def _make_grid_bwd_kernel(wh: int, ww: int, nc: int, group: int,
                 preferred_element_type=jnp.float32,
             )
             s = s_pre * scale
+            if has_bias:
+                s = s + bias_ref[j]
             if has_mask:
                 s = s + mask_add
             m = jnp.max(s, axis=-1, keepdims=True)
@@ -531,6 +734,11 @@ def _make_grid_bwd_kernel(wh: int, ww: int, nc: int, group: int,
             )
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # softmax vjp
             dscales.append(jnp.sum(ds * s_pre))
+            if has_bias:
+                # bias is window-shared: accumulate ds over this step's
+                # windows into the resident [heads, L, L] block (dynamic
+                # head index; sequential grid makes += race-free)
+                dbias_ref[hg * group + j] += jnp.sum(ds, axis=0)
 
             dsb = (ds * scale).astype(jnp.bfloat16)
             # dqn = ds_scaled @ kn ; dkn = ds_scaled^T @ qn
@@ -563,7 +771,7 @@ def _make_grid_bwd_kernel(wh: int, ww: int, nc: int, group: int,
     return kernel
 
 
-def _grid_backward(q, k, v, scale, g, mask_pattern, window, interpret,
+def _grid_backward(q, k, v, scale, g, bias, mask_pattern, window, interpret,
                    w_chunk_windows: int = None):
     if w_chunk_windows is None:
         w_chunk_windows = BWD_WINDOW_BUDGET
@@ -577,6 +785,7 @@ def _grid_backward(q, k, v, scale, g, mask_pattern, window, interpret,
     nc = wc // ww
     group = _head_group(heads, hd)
     hgn = heads // group
+    has_bias = bias is not None
     has_mask = mask_pattern is not None
 
     grid = (b, nwh, nww // nc, hgn)
@@ -589,6 +798,12 @@ def _grid_backward(q, k, v, scale, g, mask_pattern, window, interpret,
         qkv_spec, qkv_spec, qkv_spec, qkv_spec,
     ]
     args = [scale.astype(jnp.float32).reshape(heads, 1), q, k, v, g]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((group, l, l), lambda bi, r, wcix, hg: (hg, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(bias.astype(jnp.float32))
     if has_mask:
         in_specs.append(
             pl.BlockSpec((l, l), lambda bi, r, wcix, hg: (0, 0), memory_space=pltpu.VMEM)
@@ -603,18 +818,27 @@ def _grid_backward(q, k, v, scale, g, mask_pattern, window, interpret,
         ),
         memory_space=pltpu.VMEM,
     )
-    kernel = _make_grid_bwd_kernel(wh, ww, nc, group, nwh, has_mask)
-    dq, dk, dv, dscale_part = pl.pallas_call(
+    out_specs = [qkv_spec, qkv_spec, qkv_spec, dscale_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(k.shape, k.dtype),
+        jax.ShapeDtypeStruct(v.shape, v.dtype),
+        jax.ShapeDtypeStruct((n_steps, 8, 128), jnp.float32),
+    ]
+    if has_bias:
+        # VMEM-resident accumulator (constant index map): written once at end
+        out_specs.append(
+            pl.BlockSpec((heads, l, l), lambda bi, r, wcix, hg: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((heads, l, l), jnp.float32))
+    kernel = _make_grid_bwd_kernel(wh, ww, nc, group, nwh, has_bias, has_mask)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=(qkv_spec, qkv_spec, qkv_spec, dscale_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
-            jax.ShapeDtypeStruct((n_steps, 8, 128), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         cost_estimate=pl.CostEstimate(
             flops=6 * 2 * l * l * hd * heads * nc * n_steps,
             bytes_accessed=8 * b * h * w * c * q.dtype.itemsize,
@@ -623,8 +847,11 @@ def _grid_backward(q, k, v, scale, g, mask_pattern, window, interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+    dq, dk, dv, dscale_part = outs[:4]
     # step order has the head-group index fastest; slot j holds head hg*group+j
     dscale = dscale_part[:, 0, :group].reshape(-1, hgn, group).sum(axis=0).reshape(heads)
+    if has_bias:
+        return dq, dk, dv, dscale.astype(scale.dtype), outs[4].astype(bias.dtype)
     return dq, dk, dv, dscale.astype(scale.dtype)
 
 
@@ -709,9 +936,6 @@ def _build_grid(window, has_bias: bool, pattern_key, interpret: bool):
         kn, _ = _normalize_heads(k, heads)
         return _grid_forward(qn, kn, v, scale, bias, mask_pattern, window, interpret)
 
-    def ref_impl(q, k, v, scale, bias):
-        return reference_attention_grid(q, k, v, scale, bias, mask_pattern, window)
-
     if has_bias:
 
         @jax.custom_vjp
@@ -719,11 +943,23 @@ def _build_grid(window, has_bias: bool, pattern_key, interpret: bool):
             return fwd_impl(q, k, v, scale, bias)
 
         def fg_fwd(q, k, v, scale, bias):
-            return fwd_impl(q, k, v, scale, bias), (q, k, v, scale, bias)
+            heads = scale.shape[0]
+            qn, inv_q = _normalize_heads(q, heads)
+            kn, inv_k = _normalize_heads(k, heads)
+            out = _grid_forward(qn, kn, v, scale, bias, mask_pattern, window, interpret)
+            return out, (qn, kn, v, scale, bias, inv_q, inv_k)
 
         def fg_bwd(res, g):
-            _, vjp = jax.vjp(ref_impl, *res)
-            return vjp(g)
+            # CPB/bias case: same handwritten Pallas backward, plus the
+            # window-shared d(bias) accumulated in VMEM across the grid
+            qn, kn, v, scale, bias, inv_q, inv_k = res
+            heads = scale.shape[0]
+            dqn, dkn, dv, dscale, dbias = _grid_backward(
+                qn, kn, v, scale, g, bias, mask_pattern, window, interpret
+            )
+            dq = _normalize_vjp(qn, inv_q, dqn, heads, qn.dtype)
+            dk = _normalize_vjp(kn, inv_k, dkn, heads, kn.dtype)
+            return dq, dk, dv, dscale, dbias
 
         fusedg.defvjp(fg_fwd, fg_bwd)
         return fusedg
@@ -745,7 +981,7 @@ def _build_grid(window, has_bias: bool, pattern_key, interpret: bool):
         qn, kn, v, scale, inv_q, inv_k = res
         heads = scale.shape[0]
         dqn, dkn, dv, dscale = _grid_backward(
-            qn, kn, v, scale, g, mask_pattern, window, interpret
+            qn, kn, v, scale, g, None, mask_pattern, window, interpret
         )
         # qn retains q's dtype, so the vjp output dtype matches the input's
         dq = _normalize_vjp(qn, inv_q, dqn, heads, qn.dtype)
@@ -1207,7 +1443,7 @@ def _build_qkv(window, pattern_key, interpret: bool):
         qn, inv_q = _normalize_heads(q, heads)
         kn, inv_k = _normalize_heads(k, heads)
         dqn, dkn, dv, dscale = _grid_backward(
-            qn, kn, v, scale, g, mask_pattern, window, interpret
+            qn, kn, v, scale, g, None, mask_pattern, window, interpret
         )
         # bf16 cotangent through the projection: halves the HBM traffic of
         # the 3C-wide concat; both einsums accumulate in fp32 on the MXU

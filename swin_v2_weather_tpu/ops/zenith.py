@@ -25,7 +25,13 @@ _J2000 = datetime.datetime(2000, 1, 1, 12, 0, 0)
 
 
 def _days_from_2000(model_time: datetime.datetime) -> float:
-    """Fractional days since the J2000 epoch."""
+    """Fractional days since the J2000 epoch.
+
+    Accepts naive datetimes (interpreted as UTC, like the reference's
+    modulus ``cos_zenith_angle``) and tz-aware ones (converted to UTC).
+    """
+    if model_time.tzinfo is not None:
+        model_time = model_time.astimezone(datetime.timezone.utc).replace(tzinfo=None)
     delta = model_time - _J2000
     return delta.total_seconds() / 86400.0
 

@@ -149,11 +149,11 @@ def build_reference(mod, rel_pos=False):
     return m
 
 
-def torch_to_flax(m, p, rel_pos=False):
+def torch_to_flax(m, p, rel_pos=False, cfg=None):
     """Map the reference state_dict into our Flax param tree."""
+    cfg = cfg or CFG
     sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
-    emb = CFG["embed_dim"]
-    patch = CFG["patch_size"]
+    emb = cfg["embed_dim"]
 
     def dense(prefix):
         return {
@@ -177,7 +177,7 @@ def torch_to_flax(m, p, rel_pos=False):
         "pos_embed": sd["pos_embed"].transpose(0, 2, 3, 1),
         "head": {"kernel": sd["head.weight"].T},
     }
-    for i in range(CFG["depth"]):
+    for i in range(cfg["depth"]):
         pre = f"stages.0.blocks.{i}"
         attn = {
             "qkv": dense(pre + ".attn.qkv"),

@@ -49,9 +49,9 @@ def main():
     batch_size = int(params.get("bench_batch_size", 1))
     params["activation_ckpt"] = True  # fit 720x1440 depth-12 on one chip
     # measured-best single-chip config (see ROADMAP.md): qkv-fused attention
-    # kernel + keep-attention-outputs remat policy
+    # kernel (batched-head fwd/bwd) + min-recompute 'mlp' remat policy
     params["attn_impl"] = "pallas_qkv"
-    params["remat_policy"] = "attn"
+    params["remat_policy"] = "mlp"
 
     mesh = make_mesh(None, devices=jax.devices()[:1])
     model = get_model(params)

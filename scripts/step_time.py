@@ -23,7 +23,6 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--attn", default="pallas_qkv")
     ap.add_argument("--remat", default="mlp", help="'off' disables activation ckpt")
-    ap.add_argument("--ln", default="xla")
     ap.add_argument("--bs", type=int, default=1)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--profile", default=None, help="capture a jax.profiler trace here")
@@ -48,7 +47,6 @@ def main():
     params = _flagship_params()
     params["data_loader_config"] = "synthetic"
     params["attn_impl"] = args.attn
-    params["ln_impl"] = args.ln
     if args.remat == "off":
         params["activation_ckpt"] = False
     else:
@@ -99,7 +97,7 @@ def main():
         jax.profiler.stop_trace()
 
     print(
-        f"attn={args.attn} remat={args.remat} ln={args.ln} bs={bs}: "
+        f"attn={args.attn} remat={args.remat} bs={bs}: "
         f"{dt * 1e3:.1f} ms/step, {bs / dt:.3f} samples/s/chip "
         f"(warmup {warm:.0f}s)"
     )

@@ -171,26 +171,23 @@ def calc_window_shift(
 # ---------------------------------------------------------------------------
 
 
-class FusedLayerNorm(nn.Module):
-    """LayerNorm with fp32 stats; optionally the fused Pallas kernel.
+class Fp32LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics regardless of compute dtype.
 
-    Parameter names/shapes match ``nn.LayerNorm`` so checkpoints are
-    interchangeable between the fused and XLA paths.
+    Parameter names/shapes match ``nn.LayerNorm``. (A fused Pallas LN kernel
+    was built and benchmarked in rounds 1-2 — including a matmul-with-ones
+    MXU row reduction — and never beat this XLA form end-to-end at flagship
+    size, 475.8 vs 469.9 ms/step, so it was cut per the win-or-cut rule.)
     """
 
     epsilon: float = 1e-5
     scale_init: Callable = nn.initializers.ones
-    use_fused: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         scale = self.param("scale", self.scale_init, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        if self.use_fused:
-            from swin_v2_weather_tpu.ops.layernorm import fused_layernorm
-
-            return fused_layernorm(x, scale, bias, self.epsilon)
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         xc = xf - mean
@@ -426,8 +423,11 @@ class SwinBlock(nn.Module):
     rel_pos: bool = False
     dtype: Any = None
     attn_impl: str = "xla"
-    ln_impl: str = "xla"
     deterministic: bool = True
+    # spatial sharding: feat_size is LOCAL rows; runs inside shard_map with
+    # H split over `spatial_axis` (see parallel/spatial.py)
+    spatial_shards: int = 1
+    spatial_axis: str = "model"
 
     def _norm(self, name: str):
         scale_init = (
@@ -435,12 +435,7 @@ class SwinBlock(nn.Module):
             if self.init_values is not None
             else nn.initializers.ones
         )
-        # LayerNorm statistics in fp32 regardless of compute dtype; fused
-        # single-pass Pallas kernel on the pallas path
-        return FusedLayerNorm(
-            epsilon=1e-5, scale_init=scale_init, name=name,
-            use_fused=self.ln_impl == "pallas",
-        )
+        return Fp32LayerNorm(epsilon=1e-5, scale_init=scale_init, name=name)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, drop_path_rate) -> jnp.ndarray:
@@ -456,7 +451,20 @@ class SwinBlock(nn.Module):
         use_grid = self.attn_impl in ("pallas", "pallas_qkv") and not (
             self.drop_attn > 0.0 and not deterministic
         )
+        spatial = self.spatial_shards > 1
+        if spatial and self.attn_impl != "xla":
+            raise NotImplementedError(
+                "spatial sharding currently requires attn_impl='xla' "
+                "(Pallas kernels need a static mask pattern)"
+            )
         mask = make_shift_mask(self.feat_size, window, shift) if do_shift else None
+        if spatial and mask is not None:
+            # only the shard owning the LAST global window row masks the
+            # pole-crossing rows; interior shards' wrapped-in halo rows are
+            # true latitude neighbours (reference lat-only mask semantics,
+            # networks/swinv2_global.py:403-424)
+            is_last = jax.lax.axis_index(self.spatial_axis) == self.spatial_shards - 1
+            mask = jnp.where(is_last, jnp.asarray(mask), 0.0)
         attn = WindowAttention(
             dim=c,
             num_heads=self.num_heads,
@@ -471,7 +479,13 @@ class SwinBlock(nn.Module):
         )
         y = x
         if do_shift:
-            y = jnp.roll(y, shift=(-shift[0], -shift[1]), axis=(1, 2))
+            if spatial:
+                from swin_v2_weather_tpu.parallel.spatial import roll_h_sharded
+
+                y = roll_h_sharded(y, -shift[0], self.spatial_axis)
+                y = jnp.roll(y, -shift[1], axis=2)
+            else:
+                y = jnp.roll(y, shift=(-shift[0], -shift[1]), axis=(1, 2))
         if use_grid:
             y = attn(y, mask=mask, deterministic=deterministic, grid_input=True)
         else:
@@ -479,7 +493,13 @@ class SwinBlock(nn.Module):
             y = attn(y, mask=mask, deterministic=deterministic)
             y = window_reverse(y.reshape(-1, window[0], window[1], c), window, self.feat_size)
         if do_shift:
-            y = jnp.roll(y, shift=(shift[0], shift[1]), axis=(1, 2))
+            if spatial:
+                from swin_v2_weather_tpu.parallel.spatial import roll_h_sharded
+
+                y = roll_h_sharded(y, shift[0], self.spatial_axis)
+                y = jnp.roll(y, shift[1], axis=2)
+            else:
+                y = jnp.roll(y, shift=(shift[0], shift[1]), axis=(1, 2))
         # named checkpoint: with remat_policy='attn' the backward pass keeps
         # this tensor instead of re-running the attention branch
         from jax.ad_checkpoint import checkpoint_name
@@ -522,8 +542,9 @@ class BlockPair(nn.Module):
     rel_pos: bool
     dtype: Any
     attn_impl: str
-    ln_impl: str
     deterministic: bool
+    spatial_shards: int = 1
+    spatial_axis: str = "model"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, dpr_pair: jnp.ndarray):
@@ -541,8 +562,9 @@ class BlockPair(nn.Module):
             rel_pos=self.rel_pos,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
-            ln_impl=self.ln_impl,
             deterministic=self.deterministic,
+            spatial_shards=self.spatial_shards,
+            spatial_axis=self.spatial_axis,
         )
         x = SwinBlock(**common, shifted=False, name="block0")(x, dpr_pair[0])
         x = SwinBlock(**common, shifted=True, name="block1")(x, dpr_pair[1])
@@ -581,7 +603,6 @@ class PatchEmbed(nn.Module):
     in_chans: int
     embed_dim: int
     dtype: Any = None
-    use_fused_ln: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, H, W, C]
@@ -590,7 +611,7 @@ class PatchEmbed(nn.Module):
         x = x.reshape(b, h // p, p, w // p, p, c).transpose(0, 1, 3, 2, 4, 5)
         x = x.reshape(b, h // p, w // p, p * p * c)
         x = _dense(self.embed_dim, p * p * c, dtype=self.dtype, name="proj")(x)
-        x = FusedLayerNorm(epsilon=1e-5, name="norm", use_fused=self.use_fused_ln)(x)
+        x = Fp32LayerNorm(epsilon=1e-5, name="norm")(x)
         return x
 
 
@@ -629,7 +650,13 @@ class SwinTransformerV2(nn.Module):
     scan_blocks: bool = True
     dtype: Any = jnp.bfloat16  # compute dtype; params are fp32
     attn_impl: str = "xla"
-    ln_impl: str = "xla"  # 'pallas' = fused single-pass LayerNorm kernel
+    # spatial sharding over the mesh's `model` axis: when > 1, __call__ runs
+    # inside shard_map on a LOCAL H slice [B, C, H/shards, W]; shifted-block
+    # rolls halo-exchange over ICI (parallel/spatial.py) and the pole mask
+    # applies only on the last shard. Parameters stay replicated; pos_embed
+    # keeps its global shape and each shard slices its rows.
+    spatial_shards: int = 1
+    spatial_axis: str = "model"
 
     def _window(self) -> Tuple[int, int]:
         if self.window_size is not None:
@@ -657,6 +684,15 @@ class SwinTransformerV2(nn.Module):
         gh, gw = h // p, w // p
         window = self._window()
         deterministic = not train
+        n_sp = int(self.spatial_shards)
+        if gh % n_sp:
+            raise ValueError(f"patch rows {gh} not divisible by spatial_shards {n_sp}")
+        gh_local = gh // n_sp  # == gh when unsharded
+        if n_sp > 1 and gh_local % window[0]:
+            raise ValueError(
+                f"local patch rows {gh_local} must be a whole number of window "
+                f"rows ({window[0]}) for spatial sharding"
+            )
 
         skip = x
         x = x.transpose(0, 2, 3, 1)  # NCHW -> NHWC
@@ -664,18 +700,21 @@ class SwinTransformerV2(nn.Module):
 
         x = PatchEmbed(
             patch_size=p, in_chans=self.in_chans, embed_dim=self.embed_dim,
-            dtype=self.dtype, use_fused_ln=self.ln_impl == "pallas",
-            name="patch_embed",
+            dtype=self.dtype, name="patch_embed",
         )(x)
 
         if self.full_pos_embed:
             # reference stores [1, C, gh, gw] * 0.02 randn (:769-770); ours is
-            # [1, gh, gw, C] for the NHWC layout
+            # [1, gh, gw, C] for the NHWC layout. Global shape even under
+            # spatial sharding (params replicated); each shard slices its rows
             pos = self.param(
                 "pos_embed",
                 lambda key, shape: 0.02 * jax.random.normal(key, shape, jnp.float32),
                 (1, gh, gw, self.embed_dim),
             )
+            if n_sp > 1:
+                row0 = jax.lax.axis_index(self.spatial_axis) * gh_local
+                pos = jax.lax.dynamic_slice_in_dim(pos, row0, gh_local, axis=1)
             x = x + pos.astype(x.dtype)
 
         # stochastic depth linspace over blocks (reference :737)
@@ -684,7 +723,7 @@ class SwinTransformerV2(nn.Module):
         pair_kwargs = dict(
             dim=self.embed_dim,
             num_heads=self.num_heads,
-            feat_size=(gh, gw),
+            feat_size=(gh_local, gw),
             window_size=window,
             mlp_ratio=self.mlp_ratio,
             init_values=self.init_values,
@@ -693,8 +732,9 @@ class SwinTransformerV2(nn.Module):
             rel_pos=self.rel_pos,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
-            ln_impl=self.ln_impl,
             deterministic=deterministic,
+            spatial_shards=n_sp,
+            spatial_axis=self.spatial_axis,
         )
 
         if self.scan_blocks and self.depth % 2 == 0 and self.depth >= 2:
@@ -747,7 +787,7 @@ class SwinTransformerV2(nn.Module):
                 x = block_cls(
                     dim=self.embed_dim,
                     num_heads=self.num_heads,
-                    feat_size=(gh, gw),
+                    feat_size=(gh_local, gw),
                     window_size=window,
                     shift_size=shift,
                     shifted=(i % 2 == 1),
@@ -758,8 +798,9 @@ class SwinTransformerV2(nn.Module):
                     rel_pos=self.rel_pos,
                     dtype=self.dtype,
                     attn_impl=self.attn_impl,
-                    ln_impl=self.ln_impl,
                     deterministic=deterministic,
+                    spatial_shards=n_sp,
+                    spatial_axis=self.spatial_axis,
                     name=f"block{i}",
                 )(x, jnp.float32(dpr[i]))
 
@@ -767,9 +808,9 @@ class SwinTransformerV2(nn.Module):
         x = _dense(
             self.out_chans * p * p, self.embed_dim, use_bias=False, dtype=self.dtype, name="head"
         )(x)
-        x = x.reshape(b, gh, gw, p, p, self.out_chans)
+        x = x.reshape(b, gh_local, gw, p, p, self.out_chans)
         # nhwpqc -> nchpwq: interleave patch pixels back into the full grid
-        x = x.transpose(0, 5, 1, 3, 2, 4).reshape(b, self.out_chans, h, w)
+        x = x.transpose(0, 5, 1, 3, 2, 4).reshape(b, self.out_chans, h // n_sp, w)
         x = x.astype(jnp.float32)
 
         if self.residual:
@@ -804,5 +845,4 @@ def build_swin_from_params(params, dtype=None) -> SwinTransformerV2:
         scan_blocks=bool(getattr(params, "scan_blocks", True)),
         dtype=dtype,
         attn_impl=str(getattr(params, "attn_impl", "xla")),
-        ln_impl=str(getattr(params, "ln_impl", "xla")),
     )

@@ -15,7 +15,6 @@ from swin_v2_weather_tpu.ops.metrics import (
 )
 from swin_v2_weather_tpu.ops.zenith import cos_zenith_angle
 from swin_v2_weather_tpu.ops.losses import LossHandler, auto_channel_weights
-from swin_v2_weather_tpu.ops.layernorm import fused_layernorm
 from swin_v2_weather_tpu.ops.window_attention import (
     fused_window_attention,
     fused_window_attention_grid,

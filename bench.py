@@ -49,9 +49,12 @@ def main():
     batch_size = int(params.get("bench_batch_size", 1))
     params["activation_ckpt"] = True  # fit 720x1440 depth-12 on one chip
     # measured-best single-chip config (see ROADMAP.md): qkv-fused attention
-    # kernel (batched-head fwd/bwd) + min-recompute 'mlp' remat policy
+    # kernel (batched-head fwd/bwd) + min-recompute 'mlp3' remat policy +
+    # unrolled blocks (no scan-stacked save buffers: the per-iteration
+    # dynamic-update-slice saves ran at ~1/6 HBM peak; 465 -> 431 ms)
     params["attn_impl"] = "pallas_qkv"
-    params["remat_policy"] = "mlp"
+    params["remat_policy"] = "mlp3"
+    params["scan_blocks"] = False
 
     mesh = make_mesh(None, devices=jax.devices()[:1])
     model = get_model(params)

@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--attn", default="pallas_qkv")
     ap.add_argument("--remat", default="mlp", help="'off' disables activation ckpt")
     ap.add_argument("--bs", type=int, default=1)
+    ap.add_argument("--no-scan", action="store_true", help="unroll block pairs")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--profile", default=None, help="capture a jax.profiler trace here")
     args = ap.parse_args()
@@ -47,6 +48,8 @@ def main():
     params = _flagship_params()
     params["data_loader_config"] = "synthetic"
     params["attn_impl"] = args.attn
+    if args.no_scan:
+        params["scan_blocks"] = False
     if args.remat == "off":
         params["activation_ckpt"] = False
     else:
@@ -97,7 +100,8 @@ def main():
         jax.profiler.stop_trace()
 
     print(
-        f"attn={args.attn} remat={args.remat} bs={bs}: "
+        f"attn={args.attn} remat={args.remat} bs={bs}"
+        f"{' noscan' if args.no_scan else ''}: "
         f"{dt * 1e3:.1f} ms/step, {bs / dt:.3f} samples/s/chip "
         f"(warmup {warm:.0f}s)"
     )

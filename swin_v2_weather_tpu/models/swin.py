@@ -296,6 +296,7 @@ class WindowAttention(nn.Module):
         mask: Optional[np.ndarray] = None,  # [nW, L, L] static or None
         deterministic: bool = True,
         grid_input: bool = False,
+        boundary_flag=None,  # runtime mask gate (spatial sharding)
     ) -> jnp.ndarray:
         c = x.shape[-1]
         hd = c // self.num_heads
@@ -330,6 +331,7 @@ class WindowAttention(nn.Module):
             out = fused_window_attention_qkv(
                 x, w_b[0].astype(self.dtype or x.dtype), w_b[1], scale,
                 self.window_size, mask_pattern=pattern,
+                boundary_flag=boundary_flag,
             )
             from jax.ad_checkpoint import checkpoint_name
 
@@ -352,7 +354,8 @@ class WindowAttention(nn.Module):
             pattern = mask[-1] if mask is not None else None
             q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
             out = fused_window_attention_grid(
-                q, k, v, scale, self.window_size, bias=bias, mask_pattern=pattern
+                q, k, v, scale, self.window_size, bias=bias, mask_pattern=pattern,
+                boundary_flag=boundary_flag,
             )
         else:
             bw = x.shape[0]
@@ -452,19 +455,25 @@ class SwinBlock(nn.Module):
             self.drop_attn > 0.0 and not deterministic
         )
         spatial = self.spatial_shards > 1
-        if spatial and self.attn_impl != "xla":
+        if spatial and self.attn_impl not in ("xla", "pallas", "pallas_qkv"):
             raise NotImplementedError(
-                "spatial sharding currently requires attn_impl='xla' "
-                "(Pallas kernels need a static mask pattern)"
+                "spatial sharding supports attn_impl 'xla', 'pallas' and "
+                "'pallas_qkv' (v1 windowed kernel has no boundary gate)"
             )
         mask = make_shift_mask(self.feat_size, window, shift) if do_shift else None
+        boundary_flag = None
         if spatial and mask is not None:
             # only the shard owning the LAST global window row masks the
             # pole-crossing rows; interior shards' wrapped-in halo rows are
             # true latitude neighbours (reference lat-only mask semantics,
             # networks/swinv2_global.py:403-424)
             is_last = jax.lax.axis_index(self.spatial_axis) == self.spatial_shards - 1
-            mask = jnp.where(is_last, jnp.asarray(mask), 0.0)
+            if use_grid:
+                # pallas kernels keep the STATIC mask pattern and gate it
+                # with a runtime scalar instead
+                boundary_flag = is_last.astype(jnp.float32)
+            else:
+                mask = jnp.where(is_last, jnp.asarray(mask), 0.0)
         attn = WindowAttention(
             dim=c,
             num_heads=self.num_heads,
@@ -487,7 +496,8 @@ class SwinBlock(nn.Module):
             else:
                 y = jnp.roll(y, shift=(-shift[0], -shift[1]), axis=(1, 2))
         if use_grid:
-            y = attn(y, mask=mask, deterministic=deterministic, grid_input=True)
+            y = attn(y, mask=mask, deterministic=deterministic, grid_input=True,
+                     boundary_flag=boundary_flag)
         else:
             y = window_partition(y, window).reshape(-1, window[0] * window[1], c)
             y = attn(y, mask=mask, deterministic=deterministic)
@@ -676,6 +686,45 @@ class SwinTransformerV2(nn.Module):
             img_window_ratio=int(window_ratio or self.img_window_ratio),
         )
 
+    def _remat_policy(self):
+        """Named-checkpoint policy for activation_ckpt (None = recompute all)."""
+        if self.remat_policy == "attn":
+            # trade ~100 MB/block of HBM for skipping the attention
+            # branch's forward recompute during backward
+            return jax.checkpoint_policies.save_only_these_names("attn_out")
+        if self.remat_policy == "mlp":
+            # min-recompute policy: save exactly the four ~100 MB
+            # tensors per block whose absence forces expensive
+            # recompute (attention-kernel output = proj input, norm1
+            # input, post-attention residual = fc1 input, fc2 output
+            # = norm2 input). Backward then re-runs only fc1 + gelu
+            # (~3.7 of the 11.7 TFLOP full-forward recompute) and
+            # cheap elementwise ops, at ~0.4 GB/block of HBM — the
+            # wide mlp hidden tensors are never stored. (An exclude-
+            # list policy was tried first and OOMed at 33 GB: "save
+            # anything except" also keeps every fp32 upcast and roll
+            # copy.)
+            return jax.checkpoint_policies.save_only_these_names(
+                "attn_kernel_out", "attn_out", "block_mid", "mlp_out"
+            )
+        if self.remat_policy == "mlp_fc1":
+            # like 'mlp' but also saves the 400 MB/block fc1 output:
+            # backward recomputes only the gelu. Measured 513 vs 503.7 ms
+            # pre-kernel-rewrite: the extra save traffic cancels the
+            # recompute win.
+            return jax.checkpoint_policies.save_only_these_names(
+                "attn_kernel_out", "attn_out", "block_mid", "mlp_out",
+                "mlp_fc1",
+            )
+        if self.remat_policy == "mlp3":
+            # 'mlp' minus the attn_out save: backward recomputes the
+            # proj matmul + roll-back from the saved kernel output.
+            # -1.2 GB of save traffic per step for +0.9 TFLOP.
+            return jax.checkpoint_policies.save_only_these_names(
+                "attn_kernel_out", "block_mid", "mlp_out"
+            )
+        return None
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         b = x.shape[0]
@@ -741,35 +790,7 @@ class SwinTransformerV2(nn.Module):
             n_pairs = self.depth // 2
             body = BlockPair
             if self.checkpoint_stages:
-                policy = None
-                if self.remat_policy == "attn":
-                    # trade ~100 MB/block of HBM for skipping the attention
-                    # branch's forward recompute during backward
-                    policy = jax.checkpoint_policies.save_only_these_names("attn_out")
-                elif self.remat_policy == "mlp":
-                    # min-recompute policy: save exactly the four ~100 MB
-                    # tensors per block whose absence forces expensive
-                    # recompute (attention-kernel output = proj input, norm1
-                    # input, post-attention residual = fc1 input, fc2 output
-                    # = norm2 input). Backward then re-runs only fc1 + gelu
-                    # (~3.7 of the 11.7 TFLOP full-forward recompute) and
-                    # cheap elementwise ops, at ~0.4 GB/block of HBM — the
-                    # wide mlp hidden tensors are never stored. (An exclude-
-                    # list policy was tried first and OOMed at 33 GB: "save
-                    # anything except" also keeps every fp32 upcast and roll
-                    # copy.)
-                    policy = jax.checkpoint_policies.save_only_these_names(
-                        "attn_kernel_out", "attn_out", "block_mid", "mlp_out"
-                    )
-                elif self.remat_policy == "mlp_fc1":
-                    # like 'mlp' but also saves the 400 MB/block fc1 output:
-                    # backward recomputes only the gelu. +4.8 GB HBM at
-                    # flagship bs1 for ~46 ms less recompute.
-                    policy = jax.checkpoint_policies.save_only_these_names(
-                        "attn_kernel_out", "attn_out", "block_mid", "mlp_out",
-                        "mlp_fc1",
-                    )
-                body = nn.remat(body, prevent_cse=False, policy=policy)
+                body = nn.remat(body, prevent_cse=False, policy=self._remat_policy())
             scanned = nn.scan(
                 body,
                 variable_axes={"params": 0},
@@ -782,7 +803,11 @@ class SwinTransformerV2(nn.Module):
         else:
             # unrolled fallback (odd depths, debugging, param surgery)
             shift = tuple(ws // 2 for ws in window)
-            block_cls = nn.remat(SwinBlock, prevent_cse=False) if self.checkpoint_stages else SwinBlock
+            block_cls = (
+                nn.remat(SwinBlock, prevent_cse=False, policy=self._remat_policy())
+                if self.checkpoint_stages
+                else SwinBlock
+            )
             for i in range(self.depth):
                 x = block_cls(
                     dim=self.embed_dim,
@@ -845,4 +870,5 @@ def build_swin_from_params(params, dtype=None) -> SwinTransformerV2:
         scan_blocks=bool(getattr(params, "scan_blocks", True)),
         dtype=dtype,
         attn_impl=str(getattr(params, "attn_impl", "xla")),
+        spatial_shards=int(getattr(params, "spatial_shards", 1) or 1),
     )

@@ -81,6 +81,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _bflag_arr(bflag) -> jnp.ndarray:
+    """[1, 1] fp32 boundary gate: 1.0 unsharded (the local last window row
+    IS the global pole boundary); under spatial sharding the caller passes
+    is_last_shard so interior shards never mask (parallel/spatial.py)."""
+    if bflag is None:
+        return jnp.ones((1, 1), jnp.float32)
+    return jnp.asarray(bflag, jnp.float32).reshape(1, 1)
+
+
 def _on_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
 
@@ -525,6 +534,7 @@ def _make_grid_kernel(wh: int, ww: int, nc: int, group: int, n_window_rows: int,
         v_ref = refs[i]; i += 1
         bias_ref = refs[i] if has_bias else None; i += has_bias
         mask_ref = refs[i] if has_mask else None; i += has_mask
+        bflag_ref = refs[i] if has_mask else None; i += has_mask
         out_ref = refs[i]
 
         gc = q_ref.shape[-1]  # group * hd
@@ -543,9 +553,11 @@ def _make_grid_kernel(wh: int, ww: int, nc: int, group: int, n_window_rows: int,
         v_all = to_windows(v_ref)
 
         if has_mask:
+            # boundary gate: last local window row AND the runtime flag (1.0
+            # unsharded; is_last_shard under spatial sharding)
             row = pl.program_id(1)
             on_boundary = (row == n_window_rows - 1).astype(jnp.float32)
-            mask_add = on_boundary * mask_ref[:, :]
+            mask_add = (on_boundary * bflag_ref[0, 0]) * mask_ref[:, :]
 
         for j in range(group):  # static unroll over the head group
             sl = slice(j * hd, (j + 1) * hd)
@@ -580,7 +592,7 @@ def _make_grid_kernel(wh: int, ww: int, nc: int, group: int, n_window_rows: int,
 
 
 def _grid_forward(q, k, v, scale, bias, mask_pattern, window, interpret,
-                  w_chunk_windows: int = None):
+                  w_chunk_windows: int = None, bflag=None):
     if w_chunk_windows is None:
         w_chunk_windows = FWD_WINDOW_BUDGET
     b, h, w, c = q.shape
@@ -616,6 +628,10 @@ def _grid_forward(q, k, v, scale, bias, mask_pattern, window, interpret,
             pl.BlockSpec((l, l), lambda bi, r, wcix, hg: (0, 0), memory_space=pltpu.VMEM)
         )
         args.append(jnp.asarray(np.asarray(mask_pattern, np.float32)))
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda bi, r, wcix, hg: (0, 0), memory_space=pltpu.SMEM)
+        )
+        args.append(_bflag_arr(bflag))
 
     kernel = _make_grid_kernel(wh, ww, nc, group, nwh, has_bias, has_mask)
     flops = 2 * 2 * l * l * hd * heads * nc * (b * nwh * (nww // nc))
@@ -658,6 +674,7 @@ def _make_grid_bwd_kernel(wh: int, ww: int, nc: int, group: int,
         g_ref = refs[i]; i += 1
         bias_ref = refs[i] if has_bias else None; i += has_bias
         mask_ref = refs[i] if has_mask else None; i += has_mask
+        bflag_ref = refs[i] if has_mask else None; i += has_mask
         dq_ref = refs[i]; i += 1
         dk_ref = refs[i]; i += 1
         dv_ref = refs[i]; i += 1
@@ -693,7 +710,7 @@ def _make_grid_bwd_kernel(wh: int, ww: int, nc: int, group: int,
         if has_mask:
             row = pl.program_id(1)
             on_boundary = (row == n_window_rows - 1).astype(jnp.float32)
-            mask_add = on_boundary * mask_ref[:, :]
+            mask_add = (on_boundary * bflag_ref[0, 0]) * mask_ref[:, :]
 
         dscales = []
         for j in range(group):  # static unroll over the head group
@@ -772,7 +789,7 @@ def _make_grid_bwd_kernel(wh: int, ww: int, nc: int, group: int,
 
 
 def _grid_backward(q, k, v, scale, g, bias, mask_pattern, window, interpret,
-                   w_chunk_windows: int = None):
+                   w_chunk_windows: int = None, bflag=None):
     if w_chunk_windows is None:
         w_chunk_windows = BWD_WINDOW_BUDGET
     b, h, w, c = q.shape
@@ -809,6 +826,10 @@ def _grid_backward(q, k, v, scale, g, bias, mask_pattern, window, interpret,
             pl.BlockSpec((l, l), lambda bi, r, wcix, hg: (0, 0), memory_space=pltpu.VMEM)
         )
         args.append(jnp.asarray(np.asarray(mask_pattern, np.float32)))
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda bi, r, wcix, hg: (0, 0), memory_space=pltpu.SMEM)
+        )
+        args.append(_bflag_arr(bflag))
 
     n_steps = b * nwh * (nww // nc) * hgn
     dscale_spec = pl.BlockSpec(
@@ -930,63 +951,68 @@ def _build_grid(window, has_bias: bool, pattern_key, interpret: bool):
         buf, shape = pattern_key
         mask_pattern = np.frombuffer(buf, np.float32).reshape(shape)
 
-    def fwd_impl(q, k, v, scale, bias):
+    def fwd_impl(q, k, v, scale, bias, bflag):
         heads = scale.shape[0]
         qn, _ = _normalize_heads(q, heads)
         kn, _ = _normalize_heads(k, heads)
-        return _grid_forward(qn, kn, v, scale, bias, mask_pattern, window, interpret)
+        return _grid_forward(qn, kn, v, scale, bias, mask_pattern, window, interpret,
+                             bflag=bflag)
 
     if has_bias:
 
         @jax.custom_vjp
-        def fusedg(q, k, v, scale, bias):
-            return fwd_impl(q, k, v, scale, bias)
+        def fusedg(q, k, v, scale, bias, bflag):
+            return fwd_impl(q, k, v, scale, bias, bflag)
 
-        def fg_fwd(q, k, v, scale, bias):
+        def fg_fwd(q, k, v, scale, bias, bflag):
             heads = scale.shape[0]
             qn, inv_q = _normalize_heads(q, heads)
             kn, inv_k = _normalize_heads(k, heads)
-            out = _grid_forward(qn, kn, v, scale, bias, mask_pattern, window, interpret)
-            return out, (qn, kn, v, scale, bias, inv_q, inv_k)
+            out = _grid_forward(qn, kn, v, scale, bias, mask_pattern, window,
+                                interpret, bflag=bflag)
+            return out, (qn, kn, v, scale, bias, bflag, inv_q, inv_k)
 
         def fg_bwd(res, g):
             # CPB/bias case: same handwritten Pallas backward, plus the
             # window-shared d(bias) accumulated in VMEM across the grid
-            qn, kn, v, scale, bias, inv_q, inv_k = res
+            qn, kn, v, scale, bias, bflag, inv_q, inv_k = res
             heads = scale.shape[0]
             dqn, dkn, dv, dscale, dbias = _grid_backward(
-                qn, kn, v, scale, g, bias, mask_pattern, window, interpret
+                qn, kn, v, scale, g, bias, mask_pattern, window, interpret,
+                bflag=bflag,
             )
             dq = _normalize_vjp(qn, inv_q, dqn, heads, qn.dtype)
             dk = _normalize_vjp(kn, inv_k, dkn, heads, kn.dtype)
-            return dq, dk, dv, dscale, dbias
+            return dq, dk, dv, dscale, dbias, jnp.zeros_like(bflag)
 
         fusedg.defvjp(fg_fwd, fg_bwd)
         return fusedg
 
     @jax.custom_vjp
-    def fusedg4(q, k, v, scale):
-        return fwd_impl(q, k, v, scale, None)
+    def fusedg4(q, k, v, scale, bflag):
+        return fwd_impl(q, k, v, scale, None, bflag)
 
-    def fg4_fwd(q, k, v, scale):
+    def fg4_fwd(q, k, v, scale, bflag):
         heads = scale.shape[0]
         qn, inv_q = _normalize_heads(q, heads)
         kn, inv_k = _normalize_heads(k, heads)
-        out = _grid_forward(qn, kn, v, scale, None, mask_pattern, window, interpret)
-        return out, (qn, kn, v, scale, inv_q, inv_k)
+        out = _grid_forward(qn, kn, v, scale, None, mask_pattern, window,
+                            interpret, bflag=bflag)
+        return out, (qn, kn, v, scale, bflag, inv_q, inv_k)
 
     def fg4_bwd(res, g):
         # bias-free case: handwritten Pallas backward (recompute-in-VMEM),
         # then the normalization vjp in XLA
-        qn, kn, v, scale, inv_q, inv_k = res
+        qn, kn, v, scale, bflag, inv_q, inv_k = res
         heads = scale.shape[0]
         dqn, dkn, dv, dscale = _grid_backward(
-            qn, kn, v, scale, g, None, mask_pattern, window, interpret
+            qn, kn, v, scale, g, None, mask_pattern, window, interpret,
+            bflag=bflag,
         )
         # qn retains q's dtype, so the vjp output dtype matches the input's
         dq = _normalize_vjp(qn, inv_q, dqn, heads, qn.dtype)
         dk = _normalize_vjp(kn, inv_k, dkn, heads, kn.dtype)
-        return dq, dk, dv, dscale
+        return dq, dk, dv, dscale, jnp.zeros_like(bflag)
 
     fusedg4.defvjp(fg4_fwd, fg4_bwd)
     return fusedg4
@@ -1000,6 +1026,7 @@ def fused_window_attention_grid(
     window: Tuple[int, int],
     bias: Optional[jnp.ndarray] = None,  # [heads, L, L]
     mask_pattern: Optional[np.ndarray] = None,  # [L, L] boundary-row mask
+    boundary_flag=None,  # scalar gate on the mask (spatial sharding)
 ) -> jnp.ndarray:
     """Grid-layout fused window attention: [B, H, W, C] -> [B, H, W, C]."""
     wh, ww = int(window[0]), int(window[1])
@@ -1010,9 +1037,10 @@ def fused_window_attention_grid(
         arr = np.ascontiguousarray(np.asarray(mask_pattern, np.float32))
         pattern_key = (arr.tobytes(), arr.shape)
     fn = _build_grid((wh, ww), bias is not None, pattern_key, not _on_tpu())
+    bf = _bflag_arr(boundary_flag)
     if bias is not None:
-        return fn(q, k, v, scale, bias)
-    return fn(q, k, v, scale)
+        return fn(q, k, v, scale, bias, bf)
+    return fn(q, k, v, scale, bf)
 
 
 # ---------------------------------------------------------------------------
@@ -1035,6 +1063,7 @@ def _make_qkv_kernel(wh: int, ww: int, nc: int, heads: int, n_window_rows: int,
         w_ref = refs[i]; i += 1
         b_ref = refs[i]; i += 1
         mask_ref = refs[i] if has_mask else None; i += has_mask
+        bflag_ref = refs[i] if has_mask else None; i += has_mask
         out_ref = refs[i]; i += 1
         qkv_ref = refs[i]
 
@@ -1067,7 +1096,7 @@ def _make_qkv_kernel(wh: int, ww: int, nc: int, heads: int, n_window_rows: int,
         if has_mask:
             row = pl.program_id(1)
             on_boundary = (row == n_window_rows - 1).astype(jnp.float32)
-            mask_add = on_boundary * mask_ref[:, :]
+            mask_add = (on_boundary * bflag_ref[0, 0]) * mask_ref[:, :]
         else:
             mask_add = None
 
@@ -1109,7 +1138,7 @@ def _make_qkv_kernel(wh: int, ww: int, nc: int, heads: int, n_window_rows: int,
 
 
 def _qkv_forward(x, w_qkv, b_qkv, scale, mask_pattern, window, interpret,
-                 w_chunk_windows: int = 4):
+                 w_chunk_windows: int = 4, bflag=None):
     b, h, w, c_in = x.shape
     wh, ww = window
     nwh, nww = h // wh, w // ww
@@ -1146,6 +1175,10 @@ def _qkv_forward(x, w_qkv, b_qkv, scale, mask_pattern, window, interpret,
             pl.BlockSpec((l, l), lambda bi, r, wcix: (0, 0), memory_space=pltpu.VMEM)
         )
         args.append(jnp.asarray(np.asarray(mask_pattern, np.float32)))
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda bi, r, wcix: (0, 0), memory_space=pltpu.SMEM)
+        )
+        args.append(_bflag_arr(bflag))
 
     kernel = _make_qkv_kernel(wh, ww, nc, heads, nwh, has_mask)
     n_steps = b * nwh * (nww // nc)
@@ -1200,6 +1233,7 @@ def _make_qkv_bwd_kernel(wh: int, ww: int, nc: int, heads: int,
         b_ref = refs[i]; i += 1
         g_ref = refs[i]; i += 1
         mask_ref = refs[i] if has_mask else None; i += has_mask
+        bflag_ref = refs[i] if has_mask else None; i += has_mask
         dx_ref = refs[i]; i += 1
         dw_ref = refs[i]; i += 1
         db_ref = refs[i]; i += 1
@@ -1250,7 +1284,7 @@ def _make_qkv_bwd_kernel(wh: int, ww: int, nc: int, heads: int,
         if has_mask:
             row = pl.program_id(1)
             on_boundary = (row == n_window_rows - 1).astype(jnp.float32)
-            mask_add = on_boundary * mask_ref[:, :]
+            mask_add = (on_boundary * bflag_ref[0, 0]) * mask_ref[:, :]
 
         q = qkvh_ref[0].reshape(hb, l, hd).astype(jnp.float32)
         k = qkvh_ref[1].reshape(hb, l, hd).astype(jnp.float32)
@@ -1360,7 +1394,7 @@ def _make_qkv_bwd_kernel(wh: int, ww: int, nc: int, heads: int,
 
 
 def _qkv_backward(x, w_qkv, b_qkv, scale, g, mask_pattern, window, interpret,
-                  w_chunk_windows: int = 4):
+                  w_chunk_windows: int = 4, bflag=None):
     b, h, w, c_in = x.shape
     wh, ww = window
     nwh, nww = h // wh, w // ww
@@ -1399,6 +1433,10 @@ def _qkv_backward(x, w_qkv, b_qkv, scale, g, mask_pattern, window, interpret,
             pl.BlockSpec((l, l), lambda bi, r, wcix: (0, 0), memory_space=pltpu.VMEM)
         )
         args.append(jnp.asarray(np.asarray(mask_pattern, np.float32)))
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda bi, r, wcix: (0, 0), memory_space=pltpu.SMEM)
+        )
+        args.append(_bflag_arr(bflag))
 
     acc_spec = lambda shape: pl.BlockSpec(  # noqa: E731 — VMEM-resident accumulator
         shape, lambda bi, r, wcix: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -1442,26 +1480,29 @@ def _build_qkv(window, pattern_key, interpret: bool):
         mask_pattern = np.frombuffer(buf, np.float32).reshape(shape)
 
     @jax.custom_vjp
-    def fused(x, w_qkv, b_qkv, scale):
-        return _qkv_forward(x, w_qkv, b_qkv, scale, mask_pattern, window, interpret)
+    def fused(x, w_qkv, b_qkv, scale, bflag):
+        return _qkv_forward(x, w_qkv, b_qkv, scale, mask_pattern, window, interpret,
+                            bflag=bflag)
 
-    def f_fwd(x, w_qkv, b_qkv, scale):
-        return fused(x, w_qkv, b_qkv, scale), (x, w_qkv, b_qkv, scale)
+    def f_fwd(x, w_qkv, b_qkv, scale, bflag):
+        return fused(x, w_qkv, b_qkv, scale, bflag), (x, w_qkv, b_qkv, scale, bflag)
 
     def f_bwd(res, g):
-        x, w_qkv, b_qkv, scale = res
+        x, w_qkv, b_qkv, scale, bflag = res
         if QKV_BWD_IMPL == "pallas":
             # fully-fused backward: qkv recompute, attention backward,
             # normalization vjp and projection backward in ONE kernel; dW/db
             # accumulate in VMEM across the sequential grid
             dx, dw, db, dscale = _qkv_backward(
-                x, w_qkv, b_qkv, scale, g, mask_pattern, window, interpret
+                x, w_qkv, b_qkv, scale, g, mask_pattern, window, interpret,
+                bflag=bflag,
             )
             return (
                 dx,
                 dw.astype(w_qkv.dtype),
                 db.astype(b_qkv.dtype),
                 dscale.astype(scale.dtype),
+                jnp.zeros_like(bflag),
             )
         # fallback: recompute qkv in XLA, reuse the grid backward kernel,
         # then chain through the projection for dx/dW/db
@@ -1478,7 +1519,8 @@ def _build_qkv(window, pattern_key, interpret: bool):
         qn, inv_q = _normalize_heads(q, heads)
         kn, inv_k = _normalize_heads(k, heads)
         dqn, dkn, dv, dscale = _grid_backward(
-            qn, kn, v, scale, g, None, mask_pattern, window, interpret
+            qn, kn, v, scale, g, None, mask_pattern, window, interpret,
+            bflag=bflag,
         )
         # bf16 cotangent through the projection: halves the HBM traffic of
         # the 3C-wide concat; both einsums accumulate in fp32 on the MXU
@@ -1494,7 +1536,7 @@ def _build_qkv(window, pattern_key, interpret: bool):
             preferred_element_type=jnp.float32,
         ).astype(w_qkv.dtype)
         db = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1, 2)).astype(b_qkv.dtype)
-        return dx, dw, db, dscale
+        return dx, dw, db, dscale, jnp.zeros_like(bflag)
 
     fused.defvjp(f_fwd, f_bwd)
     return fused
@@ -1507,6 +1549,7 @@ def fused_window_attention_qkv(
     scale: jnp.ndarray,  # [heads]
     window: Tuple[int, int],
     mask_pattern: Optional[np.ndarray] = None,
+    boundary_flag=None,  # scalar gate on the mask (spatial sharding)
 ) -> jnp.ndarray:
     """qkv projection + window attention fused: [B,H,W,Cin] -> [B,H,W,C]."""
     wh, ww = int(window[0]), int(window[1])
@@ -1517,7 +1560,7 @@ def fused_window_attention_qkv(
         arr = np.ascontiguousarray(np.asarray(mask_pattern, np.float32))
         pattern_key = (arr.tobytes(), arr.shape)
     fn = _build_qkv((wh, ww), pattern_key, not _on_tpu())
-    return fn(x, w_qkv, b_qkv, scale)
+    return fn(x, w_qkv, b_qkv, scale, _bflag_arr(boundary_flag))
 
 
 def fused_window_attention(

@@ -110,8 +110,15 @@ def make_mesh(
     return Mesh(dev_array, ("data", "model"))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding for [B, ...] arrays: batch split over the data axis."""
+def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
+    """Sharding for [B, ...] arrays: batch split over the data axis.
+
+    ``spatial=True`` additionally splits dim 2 (H of NCHW batches) over the
+    model axis — the layout for spatially-sharded training
+    (parallel/spatial.py).
+    """
+    if spatial:
+        return NamedSharding(mesh, P("data", None, "model"))
     return NamedSharding(mesh, P("data"))
 
 

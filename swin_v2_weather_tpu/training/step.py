@@ -55,10 +55,42 @@ class TrainState(flax.struct.PyTreeNode):
         )
 
 
-def make_loss_fn(model, loss_handler, preprocessor, loss_scale: float) -> Callable:
+def _model_spatial_shards(model) -> int:
+    """spatial_shards of the wrapped core (1 = no spatial sharding)."""
+    core = getattr(model, "model", model)
+    return int(getattr(core, "spatial_shards", 1) or 1)
+
+
+def _apply_model(model, mesh, variables, inp, tzen, rng, train: bool):
+    """model.apply, inside shard_map over (data, model) when the model is
+    spatially sharded (H split over 'model'; parallel/spatial.py). Outside
+    the SP case this is a plain apply — GSPMD handles the data axis."""
+    n_sp = _model_spatial_shards(model)
+    if n_sp <= 1:
+        rngs = {"dropout": rng} if train else None
+        return model.apply(variables, inp, coszen=tzen, train=train, rngs=rngs)
+
+    from jax.sharding import PartitionSpec as P
+
+    bspec = P("data", None, "model", None)
+
+    def apply_local(v, inp_l, tzen_l, rng_l):
+        rngs = None
+        if train:
+            # decorrelate per-sample dropout/drop-path across data shards
+            rngs = {"dropout": jax.random.fold_in(rng_l, jax.lax.axis_index("data"))}
+        return model.apply(v, inp_l, coszen=tzen_l, train=train, rngs=rngs)
+
+    return jax.shard_map(
+        apply_local, mesh=mesh, in_specs=(P(), bspec, bspec, P()),
+        out_specs=bspec, check_vma=False,
+    )(variables, inp, tzen, rng)
+
+
+def make_loss_fn(model, loss_handler, preprocessor, loss_scale: float, mesh=None) -> Callable:
     def loss_fn(params, batch: Dict[str, jnp.ndarray], rng) -> jnp.ndarray:
         inp, tar, tzen = preprocessor(batch)
-        gen = model.apply({"params": params}, inp, coszen=tzen, train=True, rngs={"dropout": rng})
+        gen = _apply_model(model, mesh, {"params": params}, inp, tzen, rng, train=True)
         gen = gen.astype(jnp.float32)
         return loss_handler(gen, tar, inp) * loss_scale
 
@@ -80,7 +112,7 @@ def build_train_step(
     """
     if loss_scale is None:
         loss_scale = 1.0 / float(mesh.shape["data"])
-    loss_fn = make_loss_fn(model, loss_handler, preprocessor, loss_scale)
+    loss_fn = make_loss_fn(model, loss_handler, preprocessor, loss_scale, mesh=mesh)
 
     def step_fn(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -95,7 +127,7 @@ def build_train_step(
         return new_state, {"loss": loss, "grad_norm": grad_norm}
 
     repl = replicated_sharding(mesh)
-    bsh = batch_sharding(mesh)
+    bsh = batch_sharding(mesh, spatial=_model_spatial_shards(model) > 1)
     return jax.jit(
         step_fn,
         in_shardings=(repl, bsh, repl),
@@ -117,7 +149,7 @@ def build_eval_step(model, loss_handler, preprocessor, mesh, n_out_channels: int
 
     def eval_fn(params, batch):
         inp, tar, tzen = preprocessor(batch)
-        gen = model.apply({"params": params}, inp, coszen=tzen, train=False)
+        gen = _apply_model(model, mesh, {"params": params}, inp, tzen, None, train=False)
         gen = gen.astype(jnp.float32)
         # the reference's LossHandler stays in training mode during
         # validation (multistep weight applied) — see ops/losses.py docstring
@@ -127,5 +159,5 @@ def build_eval_step(model, loss_handler, preprocessor, mesh, n_out_channels: int
         return {"loss": loss, "rmse": weighted_rmse(gen_last, tar_last)}
 
     repl = replicated_sharding(mesh)
-    bsh = batch_sharding(mesh)
+    bsh = batch_sharding(mesh, spatial=_model_spatial_shards(model) > 1)
     return jax.jit(eval_fn, in_shardings=(repl, bsh), out_shardings=repl)

@@ -55,14 +55,17 @@ class TestRollHSharded:
 
 
 class TestSpatialModel:
-    def _models(self):
-        common = dict(dtype=jnp.float32, attn_impl="xla", scan_blocks=True)
+    def _models(self, attn_impl="xla"):
+        common = dict(dtype=jnp.float32, attn_impl=attn_impl, scan_blocks=True)
         ref = SwinTransformerV2(**CFG, **common)
         sp = SwinTransformerV2(**CFG, **common, spatial_shards=2)
         return ref, sp
 
-    def test_forward_matches_unsharded(self, mesh42, rng):
-        ref, sp = self._models()
+    @pytest.mark.parametrize("attn_impl", ["xla", "pallas", "pallas_qkv"])
+    def test_forward_matches_unsharded(self, mesh42, rng, attn_impl):
+        """All three attention impls under SP: xla uses a traced mask, the
+        pallas kernels keep the static pattern + runtime boundary gate."""
+        ref, sp = self._models(attn_impl)
         x = jnp.asarray(rng.standard_normal((4, 5, 24, 48)), jnp.float32)
         variables = ref.init(jax.random.key(0), x)
         # make blocks non-identity (norm scales are zero-init)
@@ -73,7 +76,8 @@ class TestSpatialModel:
         y_ref = ref.apply(variables, x)
         y_sp = spatial_forward(sp, variables, x, mesh42)
         assert y_sp.shape == y_ref.shape
-        np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_ref), atol=2e-5)
+        tol = 2e-5 if attn_impl == "xla" else 5e-2  # bf16 MXU kernels
+        np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_ref), atol=tol)
 
     def test_activations_actually_sharded(self, mesh42, rng):
         """The output device-local shards carry H/2 rows each — the model
@@ -112,3 +116,52 @@ class TestSpatialModel:
         np.testing.assert_allclose(
             np.asarray(flat_s), np.asarray(flat_r), atol=5e-4, rtol=1e-4
         )
+
+
+class TestSpatialTrainStep:
+    def test_full_train_step_on_sp_mesh(self, mesh42):
+        """One jitted train step with H sharded over the model axis: the
+        spatial config trains to the same kind of finite loss as DP, with
+        the batch genuinely sharded (4 data x 2 spatial shards)."""
+        import numpy as onp
+
+        from __graft_entry__ import _flagship_params
+        from swin_v2_weather_tpu.data.preprocess import Preprocessor
+        from swin_v2_weather_tpu.data.synthetic import SyntheticDataset
+        from swin_v2_weather_tpu.models.wrappers import get_model
+        from swin_v2_weather_tpu.ops.losses import LossHandler
+        from swin_v2_weather_tpu.parallel.mesh import batch_sharding
+        from swin_v2_weather_tpu.training.optim import build_optimizer
+        from swin_v2_weather_tpu.training.step import TrainState, build_train_step
+
+        params = _flagship_params(tiny=True)
+        params["batch_size"] = 4
+        # init with an unsharded clone (identical param tree: pos_embed et al
+        # keep their GLOBAL shapes under SP); axis_index needs shard_map
+        init_model = get_model(params)
+        params["spatial_shards"] = 2
+        model = get_model(params)
+        dataset = SyntheticDataset(params, train=True, n_samples=4)
+        samples = [dataset[i] for i in range(4)]
+        batch_np = {
+            key: onp.stack(parts)
+            for key, parts in zip(("inp", "tar", "zen_inp", "zen_tar"), zip(*samples))
+        }
+        bsh = batch_sharding(mesh42, spatial=True)
+        batch = {k: jax.device_put(v, bsh) for k, v in batch_np.items()}
+        # H genuinely split over 'model'
+        assert batch["inp"].addressable_shards[0].data.shape[2] == batch_np["inp"].shape[2] // 2
+
+        x = jnp.zeros(
+            (1, int(params["n_in_channels"]), params["img_shape_x"], params["img_shape_y"]),
+            jnp.float32,
+        )
+        variables = init_model.init(jax.random.key(0), x, train=False)
+        optimizer = build_optimizer(params)
+        state = TrainState.create(variables["params"], optimizer)
+        step = build_train_step(
+            model, LossHandler(params), Preprocessor(params), optimizer, mesh42
+        )
+        state, metrics = step(state, batch, jax.random.key(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["grad_norm"]))

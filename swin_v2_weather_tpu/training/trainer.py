@@ -42,7 +42,12 @@ from swin_v2_weather_tpu.training.optim import (
     build_scheduler,
     set_learning_rate,
 )
-from swin_v2_weather_tpu.training.step import TrainState, build_eval_step, build_train_step
+from swin_v2_weather_tpu.training.step import (
+    TrainState,
+    build_eval_step,
+    build_train_step,
+    state_shardings,
+)
 from swin_v2_weather_tpu.utils.logging_utils import log_to_file, log_versions
 from swin_v2_weather_tpu.utils.metrics_sink import MetricsSink
 from swin_v2_weather_tpu.utils.profiling import StepProfiler, StepTimer
@@ -132,6 +137,15 @@ class Trainer:
         self.loss_obj = LossHandler(params)
         self.preprocessor = Preprocessor(params)
         self.model = get_model(params)
+        # spatial sharding: init with an unsharded clone (identical param
+        # tree — pos_embed et al keep global shapes; lax.axis_index needs
+        # the shard_map the train/eval steps provide)
+        self._init_model = self.model
+        if int(getattr(params, "spatial_shards", 1) or 1) > 1:
+            sp = params["spatial_shards"]
+            params["spatial_shards"] = 1
+            self._init_model = get_model(params)
+            params["spatial_shards"] = sp
 
         # init params (deterministic trace: no dropout rngs needed)
         seed = int(getattr(params, "seed", 333) or 333)
@@ -143,17 +157,23 @@ class Trainer:
             if params.add_zenith
             else None
         )
-        variables = self.model.init(init_rng, dummy_inp, coszen=dummy_tzen, train=False)
+        variables = self._init_model.init(init_rng, dummy_inp, coszen=dummy_tzen, train=False)
 
         self.optimizer = build_optimizer(params)
-        repl = replicated_sharding(self.mesh)
+        abstract = jax.eval_shape(
+            lambda p: TrainState.create(p, self.optimizer), variables["params"]
+        )
+        ssh = state_shardings(
+            abstract, self.mesh, bool(getattr(params, "shard_opt_state", False))
+        )
         self.state = jax.jit(
-            lambda p: TrainState.create(p, self.optimizer), out_shardings=repl
+            lambda p: TrainState.create(p, self.optimizer), out_shardings=ssh
         )(variables["params"])
         del variables
 
         self.train_step = build_train_step(
-            self.model, self.loss_obj, self.preprocessor, self.optimizer, self.mesh
+            self.model, self.loss_obj, self.preprocessor, self.optimizer, self.mesh,
+            state_shardings=ssh,
         )
         self.eval_step = build_eval_step(
             self.model, self.loss_obj, self.preprocessor, self.mesh, n_out

@@ -150,9 +150,13 @@ def build_reference(mod, rel_pos=False):
 
 
 def torch_to_flax(m, p, rel_pos=False, cfg=None):
-    """Map the reference state_dict into our Flax param tree."""
+    """Map the reference state_dict into our Flax param tree.
+
+    Copies (not views): torch optimizers mutate parameters in place, which
+    would silently retro-mutate a transplanted tree built on .numpy() views.
+    """
     cfg = cfg or CFG
-    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    sd = {k: np.array(v.detach().numpy()) for k, v in m.state_dict().items()}
     emb = cfg["embed_dim"]
 
     def dense(prefix):
@@ -296,6 +300,67 @@ class TestReferenceParity:
         )
         assert y_ours.shape == y_ref.shape == (1, (n_future + 1) * CFG["out_chans"], 24, 48)
         np.testing.assert_allclose(y_ours, y_ref, atol=5e-4, rtol=5e-4)
+
+    def test_adam_train_step_matches_torch(self, reference_module):
+        """One full backward + Adam(0.9, 0.95) step produces the same updated
+        parameters as the reference stack (torch autograd + torch.optim.Adam,
+        reference train.py:175-176 fused adam semantics). Pins gradient flow
+        through every layer AND the optimizer math, not just the forward."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from swin_v2_weather_tpu.models.swin import SwinTransformerV2
+
+        # eval mode: all drop rates are 0 in this config, but torch's train()
+        # flag also flips timm DropPath bookkeeping; gradients are identical
+        # for the deterministic net either way
+        ref = build_reference(reference_module)
+        ours = SwinTransformerV2(
+            img_size=CFG["img_size"], patch_size=CFG["patch_size"],
+            in_chans=CFG["in_chans"], out_chans=CFG["out_chans"],
+            embed_dim=CFG["embed_dim"], depth=CFG["depth"],
+            num_heads=CFG["num_heads"], img_window_ratio=CFG["window_ratio"],
+            full_pos_embed=True, rel_pos=False, residual=True,
+            dtype=jnp.float32, scan_blocks=False, attn_impl="xla",
+        )
+        rng = np.random.default_rng(23)
+        x = rng.standard_normal((2, CFG["in_chans"], 24, 48)).astype(np.float32)
+        tar = rng.standard_normal((2, CFG["out_chans"], 24, 48)).astype(np.float32)
+
+        template = jax.eval_shape(lambda: ours.init(jax.random.key(0), jnp.asarray(x)))
+        params0 = torch_to_flax(ref, template["params"])
+
+        # --- torch side: MSE loss, one fused-Adam-equivalent step ---
+        opt = torch.optim.Adam(ref.parameters(), lr=1e-3, betas=(0.9, 0.95))
+        opt.zero_grad()
+        loss_t = torch.mean((ref(torch.from_numpy(x)) - torch.from_numpy(tar)) ** 2)
+        loss_t.backward()
+        opt.step()
+        updated_ref = torch_to_flax(ref, template["params"])
+
+        # --- ours: same loss, optax.adam with the same hyperparams ---
+        tx = optax.adam(1e-3, b1=0.9, b2=0.95)
+        opt_state = tx.init(params0)
+
+        def loss_fn(p):
+            out = ours.apply({"params": p}, jnp.asarray(x))
+            return jnp.mean((out - jnp.asarray(tar)) ** 2)
+
+        loss_j, grads = jax.value_and_grad(loss_fn)(params0)
+        updates, _ = tx.update(grads, opt_state, params0)
+        updated_ours = optax.apply_updates(params0, updates)
+
+        assert abs(float(loss_j) - float(loss_t)) < 1e-5 * max(1.0, float(loss_t))
+        flat_r = jax.tree_util.tree_leaves_with_path(updated_ref)
+        flat_o = {jax.tree_util.keystr(k): v for k, v in
+                  jax.tree_util.tree_leaves_with_path(updated_ours)}
+        for key, ref_leaf in flat_r:
+            ks = jax.tree_util.keystr(key)
+            np.testing.assert_allclose(
+                np.asarray(flat_o[ks]), np.asarray(ref_leaf), atol=3e-5,
+                err_msg=ks,
+            )
 
     def test_shift_mask_matches_reference_blocks(self, reference_module):
         """Our host-side mask equals the reference block's buffered mask."""

@@ -129,21 +129,25 @@ def device_prefetch(
     mesh=None,
     depth: int = 2,
     batch_axis: str = "data",
+    spatial: bool = False,
 ):
     """Move host batches onto devices ahead of consumption.
 
     With a mesh, each array is placed with ``NamedSharding(mesh,
     P(batch_axis))`` — batch dimension split across the data axis, so the
     jitted step consumes already-sharded global arrays with no layout pass.
-    ``jax.device_put`` is async; keeping ``depth`` batches in flight overlaps
-    H2D DMA with the previous step's compute.
+    ``spatial=True`` additionally splits dim 2 (H) over the ``model`` axis
+    for spatially-sharded training. ``jax.device_put`` is async; keeping
+    ``depth`` batches in flight overlaps H2D DMA with the previous step's
+    compute.
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sharding = None
     if mesh is not None:
-        sharding = NamedSharding(mesh, P(batch_axis))
+        spec = P(batch_axis, None, "model") if spatial else P(batch_axis)
+        sharding = NamedSharding(mesh, spec)
     multihost = jax.process_count() > 1
 
     def place_one(v):

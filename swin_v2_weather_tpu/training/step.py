@@ -94,6 +94,20 @@ def state_shardings(state_abstract, mesh, shard_opt_state: bool = False):
     )
 
 
+def _top_level_modules(grads) -> Dict[str, Any]:
+    """Group a gradient pytree by its top-level module names.
+
+    Wrapper trees nest the core under 'model'; unwrap one level so the
+    groups are the architectural units (patch_embed, blocks, head, ...).
+    """
+    tree = grads
+    if isinstance(tree, dict) and set(tree.keys()) == {"model"}:
+        tree = tree["model"]
+    if not isinstance(tree, dict):
+        return {"params": tree}
+    return dict(tree)
+
+
 def _model_spatial_shards(model) -> int:
     """spatial_shards of the wrapped core (1 = no spatial sharding)."""
     core = getattr(model, "model", model)
@@ -157,14 +171,18 @@ def build_train_step(
     def step_fn(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
-        # global grad norm: the monitoring role of the reference's
-        # wandb.watch(model) histograms (train.py:172-173) at scalar cost —
-        # fused into the same program, no extra host sync
+        # global + per-top-level-module grad norms: the monitoring role of
+        # the reference's wandb.watch(model) histograms (train.py:172-173)
+        # at scalar cost — fused into the same program, no extra host sync
         grad_norm = optax.global_norm(grads)
+        module_norms = {
+            f"grad_norm/{k}": optax.global_norm(v)
+            for k, v in _top_level_modules(grads).items()
+        }
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
-        return new_state, {"loss": loss, "grad_norm": grad_norm}
+        return new_state, {"loss": loss, "grad_norm": grad_norm, **module_norms}
 
     repl = replicated_sharding(mesh)
     bsh = batch_sharding(mesh, spatial=_model_spatial_shards(model) > 1)

@@ -141,7 +141,8 @@ class Trainer:
         # tree — pos_embed et al keep global shapes; lax.axis_index needs
         # the shard_map the train/eval steps provide)
         self._init_model = self.model
-        if int(getattr(params, "spatial_shards", 1) or 1) > 1:
+        self._spatial = int(getattr(params, "spatial_shards", 1) or 1) > 1
+        if self._spatial:
             sp = params["spatial_shards"]
             params["spatial_shards"] = 1
             self._init_model = get_model(params)
@@ -311,6 +312,7 @@ class Trainer:
         for batch in device_prefetch(
             iter(self.train_loader), self.mesh,
             depth=int(getattr(self.params, "prefetch_depth", 2)),
+            spatial=self._spatial,
         ):
             self.step_timer.tick()
             self.profiler.step(self.host_step)
@@ -327,13 +329,20 @@ class Trainer:
             "grad_norm_max": float(np.max(gnorm_arr)) if gnorm_arr.size else 0.0,
             **self.step_timer.reset(),
         }
+        if fetched:
+            # per-module gradient norms (wandb.watch monitoring role)
+            for key in fetched[0]:
+                if key.startswith("grad_norm/"):
+                    logs[key] = float(np.mean([m[key] for m in fetched]))
         return time.time() - tr_start, logs
 
     def validate_one_epoch(self):
         valid_start = time.time()
         outs = []
         last_batch = None
-        for batch in device_prefetch(iter(self.valid_loader), self.mesh):
+        for batch in device_prefetch(
+            iter(self.valid_loader), self.mesh, spatial=self._spatial
+        ):
             # keep results on device; one host sync at the end of the epoch
             outs.append(self.eval_step(self.state.params, batch))
             last_batch = batch

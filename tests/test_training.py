@@ -122,6 +122,24 @@ class TestTrainerEndToEnd:
         assert os.path.isdir(os.path.join(exp, "training_checkpoints", "best_ckpt"))
         assert os.path.exists(os.path.join(exp, "hyperparams.yaml"))
 
+    def test_spatial_and_zero1_trainer(self, tmp_path):
+        """Full Trainer run with H spatially sharded over the model axis AND
+        ZeRO-1 opt-state sharding on a (4, 2) mesh — the combined layout."""
+        from swin_v2_weather_tpu.training.trainer import Trainer
+
+        p = micro_yparams(
+            tmp_path, mesh_shape=[4, 2], spatial_shards=2, shard_opt_state=True
+        )
+        t = Trainer(p, "swin_micro_test", run_num="sp")
+        t.build_and_launch()
+
+        import json
+
+        exp = os.path.join(str(tmp_path), "swin_micro_test", "sp")
+        lines = [json.loads(l) for l in open(os.path.join(exp, "logs.jsonl"))]
+        assert len(lines) == 2
+        assert lines[1]["loss"] < lines[0]["loss"]
+
     def test_resume_continues(self, tmp_path):
         from swin_v2_weather_tpu.training.trainer import Trainer
 

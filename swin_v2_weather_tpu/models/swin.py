@@ -843,6 +843,48 @@ class SwinTransformerV2(nn.Module):
         return x
 
 
+def convert_block_layout(params_tree: dict, to_scan: bool) -> dict:
+    """Convert model params between the scanned and unrolled block layouts.
+
+    ``scan_blocks=True`` stores blocks as ``pairs/{block0,block1}`` with a
+    stacked ``[n_pairs, ...]`` leading axis; ``False`` stores flat
+    ``block{i}`` entries. Checkpoints written under one layout restore into
+    the other through this pure tree transform (used by
+    ``training/checkpoint.py``). Non-block entries pass through untouched;
+    trees already in the target layout are returned as-is.
+    """
+    import re
+
+    tree = dict(params_tree)
+    has_pairs = "pairs" in tree
+    block_keys = sorted(
+        (k for k in tree if re.fullmatch(r"block\d+", k)),
+        key=lambda k: int(k[5:]),
+    )
+    if to_scan:
+        if has_pairs or not block_keys:
+            return tree
+        n = len(block_keys)
+        if n % 2:
+            raise ValueError(f"cannot pair {n} unrolled blocks for the scan layout")
+        evens = [tree.pop(f"block{i}") for i in range(0, n, 2)]
+        odds = [tree.pop(f"block{i}") for i in range(1, n, 2)]
+        stack = lambda blocks: jax.tree_util.tree_map(  # noqa: E731
+            lambda *ls: jnp.stack(ls), *blocks
+        )
+        tree["pairs"] = {"block0": stack(evens), "block1": stack(odds)}
+        return tree
+    if not has_pairs:
+        return tree
+    pairs = tree.pop("pairs")
+    n_pairs = jax.tree_util.tree_leaves(pairs["block0"])[0].shape[0]
+    for i in range(n_pairs):
+        take = lambda t: jax.tree_util.tree_map(lambda a: a[i], t)  # noqa: E731,B023
+        tree[f"block{2 * i}"] = take(pairs["block0"])
+        tree[f"block{2 * i + 1}"] = take(pairs["block1"])
+    return tree
+
+
 def build_swin_from_params(params, dtype=None) -> SwinTransformerV2:
     """Construct the model from a YParams-style config.
 

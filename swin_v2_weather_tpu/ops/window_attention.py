@@ -1122,9 +1122,10 @@ def _make_qkv_kernel(wh: int, ww: int, nc: int, heads: int, n_window_rows: int,
             s = s + mask_add
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        # p never materializes in fp32: fused (e * 1/sum) -> bf16
+        p16 = (e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))).astype(jnp.bfloat16)
         out = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v,
+            p16, v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [hb, L, hd]
@@ -1310,14 +1311,21 @@ def _make_qkv_bwd_kernel(wh: int, ww: int, nc: int, heads: int,
         )
         if has_mask:
             s = s + mask_add
+        # minimal-pass softmax recompute: never materialize fp32 p. With
+        # r = 1/sum(e), p = e*r, and the softmax vjp rewrites exactly as
+        #   ds = p*(dp - sum(dp*p)) = (dp - r*sum(dp*e)) * e * r
+        # so the whole chain is: exp, row-sum, p16 cast, row-sum(dp*e),
+        # one fused (sub*mul*mul) pass — ~2/3 of the naive VPU traffic on
+        # the [hb, L, L] arrays (the kernel is VPU+MXU serial-sum bound).
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)  # [hb, L, L] fp32
+        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        p16 = (e * r).astype(jnp.bfloat16)
 
         # dv = p^T g and dp = g v^T share batched-dot shapes; run each as one
         # hb-batched dot (heads vectorized)
         dv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), g,
+            p16, g,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [hb, L, hd]
@@ -1326,9 +1334,16 @@ def _make_qkv_bwd_kernel(wh: int, ww: int, nc: int, heads: int,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [hb, L, L]
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # softmax vjp
+        u = jnp.sum(dp * e, axis=-1, keepdims=True)
+        # per-head scale folded into the same pass (r * scale_h is rowwise)
         dsb = jnp.concatenate(
-            [ds[h * nc : (h + 1) * nc] * scale_ref[h, 0] for h in range(heads)], 0
+            [
+                ((dp - u * r)[h * nc : (h + 1) * nc]
+                 * e[h * nc : (h + 1) * nc]
+                 * (r[h * nc : (h + 1) * nc] * scale_ref[h, 0]))
+                for h in range(heads)
+            ],
+            0,
         ).astype(jnp.bfloat16)
         dqn = jax.lax.dot_general(
             dsb, kn16,

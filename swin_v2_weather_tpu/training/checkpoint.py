@@ -76,6 +76,43 @@ def save_checkpoint(
         )
 
 
+def _convert_layout_anywhere(tree, to_scan: bool):
+    """Apply the scan<->unrolled block-layout conversion wherever a params
+    subtree appears (the model params AND their mirrors inside optimizer
+    moments)."""
+    import re
+
+    from swin_v2_weather_tpu.models.swin import convert_block_layout
+
+    if isinstance(tree, dict):
+        if "pairs" in tree or any(re.fullmatch(r"block\d+", k) for k in tree):
+            tree = convert_block_layout(tree, to_scan)
+        return {k: _convert_layout_anywhere(v, to_scan) for k, v in tree.items()}
+    if isinstance(tree, tuple):
+        vals = [_convert_layout_anywhere(v, to_scan) for v in tree]
+        return type(tree)(*vals)
+    return tree
+
+
+def _restore_other_layout(ckptr, _restore, template):
+    """Restore a checkpoint whose blocks use the opposite scan layout."""
+    live_is_scan = any(
+        "pairs" in str(jax.tree_util.keystr(k))
+        for k, _ in jax.tree_util.tree_leaves_with_path(template["params"])
+    )
+    t2 = dict(template)
+    t2["params"] = _convert_layout_anywhere(template["params"], not live_is_scan)
+    t2["opt_state"] = _convert_layout_anywhere(template["opt_state"], not live_is_scan)
+    try:
+        payload = _restore(ckptr, t2)
+    except (KeyError, ValueError):
+        t2.pop("scheduler", None)
+        payload = _restore(ckptr, t2)
+    payload["params"] = _convert_layout_anywhere(payload["params"], live_is_scan)
+    payload["opt_state"] = _convert_layout_anywhere(payload["opt_state"], live_is_scan)
+    return payload
+
+
 def restore_checkpoint(
     path: str,
     state,
@@ -118,9 +155,17 @@ def restore_checkpoint(
         try:
             payload = _restore(ckptr, template)
         except (KeyError, ValueError):
-            # checkpoint written without scheduler state (older layout)
-            template.pop("scheduler", None)
-            payload = _restore(ckptr, template)
+            try:
+                # checkpoint written without scheduler state (older layout)
+                t2 = dict(template)
+                t2.pop("scheduler", None)
+                payload = _restore(ckptr, t2)
+            except (KeyError, ValueError):
+                # scan_blocks layout mismatch: the checkpoint stores blocks
+                # in the other layout (scanned 'pairs' stack vs unrolled
+                # 'block{i}'). Restore through a converted template, then
+                # convert the payload back to the live layout.
+                payload = _restore_other_layout(ckptr, _restore, template)
     new_state = state.replace(params=payload["params"])
     out: Dict[str, Any] = {"epoch": 0}
     if resuming:

@@ -122,6 +122,49 @@ class TestTrainerEndToEnd:
         assert os.path.isdir(os.path.join(exp, "training_checkpoints", "best_ckpt"))
         assert os.path.exists(os.path.join(exp, "hyperparams.yaml"))
 
+    def test_checkpoint_restores_across_scan_layouts(self, tmp_path):
+        """A checkpoint written under scan_blocks=true resumes into an
+        unrolled model (and back): restore converts the block layout."""
+        import jax
+        import jax.numpy as jnp
+
+        from swin_v2_weather_tpu.models.swin import SwinTransformerV2
+        from swin_v2_weather_tpu.training import checkpoint as ckpt
+        from swin_v2_weather_tpu.training.optim import build_optimizer
+        from swin_v2_weather_tpu.training.step import TrainState
+
+        kw = dict(
+            img_size=(24, 48), patch_size=2, in_chans=4, out_chans=4,
+            embed_dim=32, depth=4, num_heads=2, img_window_ratio=8,
+            dtype=jnp.float32, attn_impl="xla",
+        )
+        m_scan = SwinTransformerV2(**kw, scan_blocks=True)
+        m_unr = SwinTransformerV2(**kw, scan_blocks=False)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 24, 48)), jnp.float32)
+
+        opt = build_optimizer(micro_yparams(tmp_path))
+        v_scan = m_scan.init(jax.random.key(3), x)
+        state_scan = TrainState.create(v_scan["params"], opt)
+        path = os.path.join(str(tmp_path), "layout_ckpt")
+        ckpt.save_checkpoint(path, state_scan, epoch=5)
+
+        v_unr = m_unr.init(jax.random.key(9), x)
+        state_unr = TrainState.create(v_unr["params"], opt)
+        restored = ckpt.restore_checkpoint(path, state_unr, resuming=True)
+        assert restored["epoch"] == 5
+
+        y_scan = m_scan.apply({"params": state_scan.params}, x)
+        y_unr = m_unr.apply({"params": restored["state"].params}, x)
+        np.testing.assert_allclose(np.asarray(y_unr), np.asarray(y_scan), atol=1e-6)
+
+        # and the reverse direction (unrolled checkpoint -> scanned model)
+        path2 = os.path.join(str(tmp_path), "layout_ckpt2")
+        ckpt.save_checkpoint(path2, restored["state"], epoch=6)
+        state_scan2 = TrainState.create(m_scan.init(jax.random.key(11), x)["params"], opt)
+        restored2 = ckpt.restore_checkpoint(path2, state_scan2, resuming=False)
+        y_scan2 = m_scan.apply({"params": restored2["state"].params}, x)
+        np.testing.assert_allclose(np.asarray(y_scan2), np.asarray(y_scan), atol=1e-6)
+
     def test_spatial_and_zero1_trainer(self, tmp_path):
         """Full Trainer run with H spatially sharded over the model axis AND
         ZeRO-1 opt-state sharding on a (4, 2) mesh — the combined layout."""

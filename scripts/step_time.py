@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--attn", default="pallas_qkv")
     ap.add_argument("--remat", default="mlp", help="'off' disables activation ckpt")
     ap.add_argument("--bs", type=int, default=1)
+    ap.add_argument("--nfuture", type=int, default=0, help="in-graph rollout steps - 1")
     ap.add_argument("--no-scan", action="store_true", help="unroll block pairs")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--profile", default=None, help="capture a jax.profiler trace here")
@@ -48,6 +49,8 @@ def main():
     params = _flagship_params()
     params["data_loader_config"] = "synthetic"
     params["attn_impl"] = args.attn
+    if args.nfuture:
+        params["n_future"] = args.nfuture
     if args.no_scan:
         params["scan_blocks"] = False
     if args.remat == "off":
@@ -67,16 +70,22 @@ def main():
     n_out = int(params["n_out_channels"])
     rng = np.random.default_rng(0)
     bs = args.bs
+    n_steps_roll = int(params.get("n_future", 0)) + 1
     batch = {
         "inp": jnp.asarray(rng.standard_normal((bs, n_data, h, w)), jnp.float32),
-        "tar": jnp.asarray(rng.standard_normal((bs, n_out, h, w)), jnp.float32),
+        "tar": jnp.asarray(
+            rng.standard_normal((bs, n_steps_roll * n_out, h, w)), jnp.float32
+        ),
         "zen_inp": jnp.asarray(rng.standard_normal((bs, 1, h, w)), jnp.float32),
-        "zen_tar": jnp.asarray(rng.standard_normal((bs, 1, h, w)), jnp.float32),
+        "zen_tar": jnp.asarray(
+            rng.standard_normal((bs, n_steps_roll, h, w)), jnp.float32
+        ),
     }
     batch = jax.device_put(batch, jax.devices()[0])
 
     x = jnp.zeros((1, int(params["n_in_channels"]), h, w), jnp.float32)
-    variables = model.init(jax.random.key(0), x, train=False)
+    tzen = jnp.zeros((1, n_steps_roll, h, w), jnp.float32)
+    variables = model.init(jax.random.key(0), x, coszen=tzen, train=False)
     state = TrainState.create(variables["params"], optimizer)
     del variables
 
@@ -101,7 +110,8 @@ def main():
 
     print(
         f"attn={args.attn} remat={args.remat} bs={bs}"
-        f"{' noscan' if args.no_scan else ''}: "
+        f"{' noscan' if args.no_scan else ''}"
+        f"{f' nfuture={args.nfuture}' if args.nfuture else ''}: "
         f"{dt * 1e3:.1f} ms/step, {bs / dt:.3f} samples/s/chip "
         f"(warmup {warm:.0f}s)"
     )

@@ -36,9 +36,11 @@ backwards (the XLA recompute VJPs of round 1 are retired):
     the windowing *inside* the kernel via BlockSpec indexing, eliminating
     the window-partition / head-split / window-reverse HBM transposes that
     cost more than the attention math itself at flagship size. Heads are
-    processed in groups sized so the block's lane width is a multiple of 128
-    (4 heads x 96 = 384 for the flagship). The cyclic shift commutes with
-    the linear qkv projection, so shifted blocks roll the qkv tensor once.
+    DMA'd in groups sized so the block's lane width is a multiple of 128
+    (4 heads x 96 = 384 for the flagship) and computed batched — one dot
+    per role over a [group*windows] batch, like the v3 kernels. The cyclic
+    shift commutes with the linear qkv projection, so shifted blocks roll
+    the qkv tensor once.
     q/k L2-normalization (and its vjp) stays in XLA — elementwise work the
     compiler fuses, expressed with layout-preserving head-segment matmuls.
     The backward is a handwritten Pallas kernel that recomputes the softmax
@@ -535,11 +537,15 @@ def _make_grid_kernel(wh: int, ww: int, nc: int, group: int, n_window_rows: int,
         bias_ref = refs[i] if has_bias else None; i += has_bias
         mask_ref = refs[i] if has_mask else None; i += has_mask
         bflag_ref = refs[i] if has_mask else None; i += has_mask
-        out_ref = refs[i]
+        out_ref = refs[i]; i += 1
+        qh_ref = refs[i]; i += 1  # scratch [group, nc, l, hd] bf16
+        kh_ref = refs[i]; i += 1
+        vh_ref = refs[i]
 
         gc = q_ref.shape[-1]  # group * hd
         hd = gc // group
         hg = pl.program_id(3)
+        gb = group * nc
 
         def to_windows(ref):
             # [1, WH, nc*WW, gc] -> [nc, L, gc]
@@ -551,6 +557,14 @@ def _make_grid_kernel(wh: int, ww: int, nc: int, group: int, n_window_rows: int,
         q_all = to_windows(q_ref)
         k_all = to_windows(k_ref)
         v_all = to_windows(v_ref)
+        # stage per-head slabs (static lane slices) so the attention runs as
+        # one batched dot per role with the head group vectorized — same
+        # batched-head structure as the v3 kernels
+        for j in range(group):
+            sl = slice(j * hd, (j + 1) * hd)
+            qh_ref[j] = q_all[:, :, sl].astype(jnp.bfloat16)
+            kh_ref[j] = k_all[:, :, sl].astype(jnp.bfloat16)
+            vh_ref[j] = v_all[:, :, sl].astype(jnp.bfloat16)
 
         if has_mask:
             # boundary gate: last local window row AND the runtime flag (1.0
@@ -559,34 +573,37 @@ def _make_grid_kernel(wh: int, ww: int, nc: int, group: int, n_window_rows: int,
             on_boundary = (row == n_window_rows - 1).astype(jnp.float32)
             mask_add = (on_boundary * bflag_ref[0, 0]) * mask_ref[:, :]
 
-        for j in range(group):  # static unroll over the head group
-            sl = slice(j * hd, (j + 1) * hd)
-            # q/k arrive L2-normalized (the cheap elementwise normalization
-            # and its vjp live in XLA; see fused_window_attention_grid)
-            q = q_all[:, :, sl]
-            k = k_all[:, :, sl]
-            v = v_all[:, :, sl]
-            s = jax.lax.dot_general(
-                q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # [nc, L, L]
-            s = s * scale_ref[hg * group + j, 0]
-            if bias_ref is not None:
-                s = s + bias_ref[j]
-            if has_mask:
-                s = s + mask_add
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
-            out_h = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # [nc, L, hd]
-            # write this head's slab slice immediately so its temporaries die
-            out_h = out_h.reshape(nc, wh, ww, hd).transpose(1, 0, 2, 3)
-            out_ref[0, :, :, sl] = out_h.reshape(wh, nc * ww, hd).astype(out_ref.dtype)
+        # q/k arrive L2-normalized (the cheap elementwise normalization and
+        # its vjp live in XLA; see fused_window_attention_grid)
+        s = jax.lax.dot_general(
+            qh_ref[...].reshape(gb, l, hd), kh_ref[...].reshape(gb, l, hd),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [gb, L, L]
+        # per-head logit scale (+ CPB bias) via static batch-dim slices
+        s = jnp.concatenate(
+            [
+                s[j * nc : (j + 1) * nc] * scale_ref[hg * group + j, 0]
+                + (bias_ref[j] if has_bias else 0.0)
+                for j in range(group)
+            ],
+            0,
+        )
+        if has_mask:
+            s = s + mask_add
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p16 = (e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            p16, vh_ref[...].reshape(gb, l, hd),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [gb, L, hd]
+        for j in range(group):  # slab-ify + store per head
+            o = out[j * nc : (j + 1) * nc].reshape(nc, wh, ww, hd).transpose(1, 0, 2, 3)
+            out_ref[0, :, :, j * hd : (j + 1) * hd] = o.reshape(
+                wh, nc * ww, hd
+            ).astype(out_ref.dtype)
 
     return kernel
 
@@ -635,12 +652,14 @@ def _grid_forward(q, k, v, scale, bias, mask_pattern, window, interpret,
 
     kernel = _make_grid_kernel(wh, ww, nc, group, nwh, has_bias, has_mask)
     flops = 2 * 2 * l * l * hd * heads * nc * (b * nwh * (nww // nc))
+    head_scratch = pltpu.VMEM((group, nc, l, hd), jnp.bfloat16)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), v.dtype),
+        scratch_shapes=[head_scratch, head_scratch, head_scratch],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=4 * b * h * w * c * q.dtype.itemsize,
@@ -679,7 +698,11 @@ def _make_grid_bwd_kernel(wh: int, ww: int, nc: int, group: int,
         dk_ref = refs[i]; i += 1
         dv_ref = refs[i]; i += 1
         dscale_ref = refs[i]; i += 1
-        dbias_ref = refs[i] if has_bias else None
+        dbias_ref = refs[i] if has_bias else None; i += has_bias
+        qh_ref = refs[i]; i += 1  # scratch [group, nc, l, hd] bf16
+        kh_ref = refs[i]; i += 1
+        vh_ref = refs[i]; i += 1
+        gh_ref = refs[i]
 
         if has_bias:
             first = (
@@ -712,73 +735,99 @@ def _make_grid_bwd_kernel(wh: int, ww: int, nc: int, group: int,
             on_boundary = (row == n_window_rows - 1).astype(jnp.float32)
             mask_add = (on_boundary * bflag_ref[0, 0]) * mask_ref[:, :]
 
-        dscales = []
-        for j in range(group):  # static unroll over the head group
+        # stage per-head slabs, then one batched dot per role (batched-head
+        # structure; see the v3 kernels). q/k arrive L2-normalized.
+        for j in range(group):
             sl = slice(j * hd, (j + 1) * hd)
-            qn = q_all[:, :, sl]
-            kn = k_all[:, :, sl]
-            v = v_all[:, :, sl]
-            g = g_all[:, :, sl]
+            qh_ref[j] = q_all[:, :, sl].astype(jnp.bfloat16)
+            kh_ref[j] = k_all[:, :, sl].astype(jnp.bfloat16)
+            vh_ref[j] = v_all[:, :, sl].astype(jnp.bfloat16)
+            gh_ref[j] = g_all[:, :, sl].astype(jnp.bfloat16)
+        gb = group * nc
+        qn = qh_ref[...].reshape(gb, l, hd)
+        kn = kh_ref[...].reshape(gb, l, hd)
+        vv = vh_ref[...].reshape(gb, l, hd)
+        gg = gh_ref[...].reshape(gb, l, hd)
 
-            scale = scale_ref[hg * group + j, 0]
-            s_pre = jax.lax.dot_general(
-                qn.astype(jnp.bfloat16), kn.astype(jnp.bfloat16),
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            s = s_pre * scale
-            if has_bias:
-                s = s + bias_ref[j]
-            if has_mask:
-                s = s + mask_add
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)  # [nc, L, L] fp32
+        s = jax.lax.dot_general(
+            qn, kn,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [gb, L, L] == s_pre
+        s = jnp.concatenate(
+            [
+                s[j * nc : (j + 1) * nc] * scale_ref[hg * group + j, 0]
+                + (bias_ref[j] if has_bias else 0.0)
+                for j in range(group)
+            ],
+            0,
+        )
+        if has_mask:
+            s = s + mask_add
+        # minimal-pass softmax recompute + vjp (see the v3 backward): with
+        # r = 1/sum(e), ds = (dp - r*sum(dp*e)) * e * r and p16 = e*r
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        p16 = (e * r).astype(jnp.bfloat16)
+        dv = jax.lax.dot_general(
+            p16, gg,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [gb, L, hd]
+        dp = jax.lax.dot_general(
+            gg, vv,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [gb, L, L]
+        u = jnp.sum(dp * e, axis=-1, keepdims=True)
+        ds = (dp - u * r) * e * r  # unscaled softmax-vjp (feeds dbias too)
+        if has_bias:
+            # bias is window-shared: accumulate ds over this step's windows
+            # into the resident [heads, L, L] block (dynamic head index;
+            # sequential grid makes += race-free)
+            for j in range(group):
+                dbias_ref[hg * group + j] += jnp.sum(
+                    ds[j * nc : (j + 1) * nc], axis=0
+                )
+        dsb = jnp.concatenate(
+            [
+                ds[j * nc : (j + 1) * nc] * scale_ref[hg * group + j, 0]
+                for j in range(group)
+            ],
+            0,
+        ).astype(jnp.bfloat16)
+        # dqn = ds_scaled @ kn ; dkn = ds_scaled^T @ qn
+        dqn = jax.lax.dot_general(
+            dsb, kn,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dkn = jax.lax.dot_general(
+            dsb, qn,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # the L2-normalization vjp happens in XLA outside the kernel
 
-            p16 = p.astype(jnp.bfloat16)
-            g16 = g.astype(jnp.bfloat16)
-            # dv = p^T g
-            dv = jax.lax.dot_general(
-                p16, g16,
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            # dp = g v^T
-            dp = jax.lax.dot_general(
-                g16, v.astype(jnp.bfloat16),
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # softmax vjp
-            dscales.append(jnp.sum(ds * s_pre))
-            if has_bias:
-                # bias is window-shared: accumulate ds over this step's
-                # windows into the resident [heads, L, L] block (dynamic
-                # head index; sequential grid makes += race-free)
-                dbias_ref[hg * group + j] += jnp.sum(ds, axis=0)
-
-            dsb = (ds * scale).astype(jnp.bfloat16)
-            # dqn = ds_scaled @ kn ; dkn = ds_scaled^T @ qn
-            dqn = jax.lax.dot_general(
-                dsb, kn.astype(jnp.bfloat16),
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            dkn = jax.lax.dot_general(
-                dsb, qn.astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            # the L2-normalization vjp happens in XLA outside the kernel
+        for j in range(group):
+            sl = slice(j * hd, (j + 1) * hd)
 
             def write(ref, x):
                 x = x.reshape(nc, wh, ww, hd).transpose(1, 0, 2, 3)
                 ref[0, :, :, sl] = x.reshape(wh, nc * ww, hd).astype(ref.dtype)
 
-            write(dq_ref, dqn)
-            write(dk_ref, dkn)
-            write(dv_ref, dv)
+            write(dq_ref, dqn[j * nc : (j + 1) * nc])
+            write(dk_ref, dkn[j * nc : (j + 1) * nc])
+            write(dv_ref, dv[j * nc : (j + 1) * nc])
 
+        # d(scale): sum(ds*s_pre) == sum(qn*(ds@kn)) == sum(qn*dqn)/scale
+        # (qn here is already the normalized input; identity is bias-safe)
+        qd = jnp.sum(qn.astype(jnp.float32) * dqn, -1, keepdims=True)
+        dscales = [
+            jnp.sum(qd[j * nc : (j + 1) * nc]) / scale_ref[hg * group + j, 0]
+            for j in range(group)
+        ]
         # place the group's dscale partials in row 0, cols 0..group-1
         # (no scatter: pad + row mask, which Mosaic lowers natively)
         vals = jnp.pad(jnp.stack(dscales), (0, 128 - len(dscales)))
@@ -854,12 +903,14 @@ def _grid_backward(q, k, v, scale, g, bias, mask_pattern, window, interpret,
         )
         out_shape.append(jax.ShapeDtypeStruct((heads, l, l), jnp.float32))
     kernel = _make_grid_bwd_kernel(wh, ww, nc, group, nwh, has_bias, has_mask)
+    head_scratch = pltpu.VMEM((group, nc, l, hd), jnp.bfloat16)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        scratch_shapes=[head_scratch] * 4,
         cost_estimate=pl.CostEstimate(
             flops=6 * 2 * l * l * hd * heads * nc * n_steps,
             bytes_accessed=8 * b * h * w * c * q.dtype.itemsize,

@@ -108,9 +108,11 @@ def swin_from_yaml(yaml_path: str, dtype=None):
         n_in, n_out = derived_channel_counts(params)
         params["n_in_channels"] = n_in
         params["n_out_channels"] = n_out
-    # inference rebuilds the single-step core; multi-step wrapping is a
-    # training-time construct
+    # inference rebuilds the single-step core; multi-step wrapping and
+    # spatial sharding are training-time constructs (an SP model needs the
+    # train step's shard_map; the param tree is identical either way)
     params["n_future"] = 0
+    params["spatial_shards"] = 1
     model = get_model(params, dtype=dtype)
     return model, params
 

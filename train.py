@@ -26,9 +26,21 @@ def main():
     parser.add_argument("--yaml_config", default=default_config_path(), type=str)
     parser.add_argument("--config", default="swin_73var_geo_depth12_chweight_invar", type=str)
     parser.add_argument("--sweep_id", default=None, type=str)
+    parser.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        help="override a config value (yaml-parsed; repeatable), e.g. "
+        "--set batch_size=8 --set attn_impl=pallas_qkv",
+    )
     args = parser.parse_args()
 
     params = YParams(os.path.abspath(args.yaml_config), args.config, print_params=False)
+    for item in args.set:
+        key, _, value = item.partition("=")
+        if not _:
+            raise SystemExit(f"--set expects KEY=VALUE, got {item!r}")
+        import yaml as _yaml
+
+        params[key] = _yaml.safe_load(value)
     trainer = Trainer(params, args.config, run_num=args.run_num, sweep_id=args.sweep_id)
 
     if args.sweep_id and trainer.is_chief:

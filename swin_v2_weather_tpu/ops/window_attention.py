@@ -78,6 +78,15 @@ BWD_WINDOW_BUDGET = 8
 # kernel (the round-1 path, kept for A/B measurement)
 QKV_BWD_IMPL = "pallas"
 
+# window chunks per grid step for the v3 kernels (env-overridable for
+# sweeps; at flagship geometry the only valid values are 4 and 20 — and 20
+# was measured infeasible: the fwd kernel needs ~105 MB of scoped VMEM and
+# the Mosaic compile for it OOMs server-side, so 4 is both default and max)
+import os as _os
+
+QKV_FWD_WC = int(_os.environ.get("SWIN_QKV_FWD_WC", "4"))
+QKV_BWD_WC = int(_os.environ.get("SWIN_QKV_BWD_WC", "4"))
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -1190,7 +1199,9 @@ def _make_qkv_kernel(wh: int, ww: int, nc: int, heads: int, n_window_rows: int,
 
 
 def _qkv_forward(x, w_qkv, b_qkv, scale, mask_pattern, window, interpret,
-                 w_chunk_windows: int = 4, bflag=None):
+                 w_chunk_windows: int = None, bflag=None):
+    if w_chunk_windows is None:
+        w_chunk_windows = QKV_FWD_WC
     b, h, w, c_in = x.shape
     wh, ww = window
     nwh, nww = h // wh, w // ww
@@ -1460,7 +1471,9 @@ def _make_qkv_bwd_kernel(wh: int, ww: int, nc: int, heads: int,
 
 
 def _qkv_backward(x, w_qkv, b_qkv, scale, g, mask_pattern, window, interpret,
-                  w_chunk_windows: int = 4, bflag=None):
+                  w_chunk_windows: int = None, bflag=None):
+    if w_chunk_windows is None:
+        w_chunk_windows = QKV_BWD_WC
     b, h, w, c_in = x.shape
     wh, ww = window
     nwh, nww = h // wh, w // ww

@@ -51,3 +51,44 @@ class TestWithInputSize:
         assert m2._window() == (6, 12)
         m3 = m.with_input_size((48, 96), window_ratio=16)
         assert m3._window() == (3, 6)
+
+
+class TestTrainCliOverrides:
+    def test_set_flag_parses_yaml_values(self, monkeypatch, tmp_path):
+        """--set KEY=VALUE overrides are yaml-parsed onto the config before
+        the Trainer is constructed."""
+        import train as train_mod
+
+        captured = {}
+
+        class FakeTrainer:
+            def __init__(self, params, config, run_num="00", sweep_id=None):
+                captured["params"] = params
+                self.is_chief = True
+
+            def build_and_launch(self):
+                captured["launched"] = True
+
+        monkeypatch.setattr(train_mod, "Trainer", FakeTrainer)
+        monkeypatch.setattr(
+            sys, "argv",
+            ["train.py", "--config=swin_micro_test",
+             "--set", "batch_size=16", "--set", "attn_impl=pallas_qkv",
+             "--set", "mesh_shape=[4, 2]", "--set", "shard_opt_state=true"],
+        )
+        train_mod.main()
+        p = captured["params"]
+        assert captured["launched"]
+        assert p["batch_size"] == 16
+        assert p["attn_impl"] == "pallas_qkv"
+        assert list(p["mesh_shape"]) == [4, 2]
+        assert p["shard_opt_state"] is True
+
+    def test_set_flag_rejects_malformed(self, monkeypatch):
+        import pytest
+
+        import train as train_mod
+
+        monkeypatch.setattr(sys, "argv", ["train.py", "--set", "novalue"])
+        with pytest.raises(SystemExit):
+            train_mod.main()

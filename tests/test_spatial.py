@@ -79,6 +79,23 @@ class TestSpatialModel:
         tol = 2e-5 if attn_impl == "xla" else 5e-2  # bf16 MXU kernels
         np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_ref), atol=tol)
 
+    def test_four_way_sharding_single_window_row_per_shard(self, rng):
+        """Deepest split the test grid allows: 4 spatial shards leave ONE
+        window row per shard, so every shifted-roll halo crosses shards and
+        three of four shards contain only wrapped-in interior rows."""
+        mesh24 = make_mesh(devices=jax.devices()[:8], data_parallel=2, model_parallel=4)
+        common = dict(dtype=jnp.float32, attn_impl="xla", scan_blocks=True)
+        ref = SwinTransformerV2(**CFG, **common)
+        sp = SwinTransformerV2(**CFG, **common, spatial_shards=4)
+        x = jnp.asarray(rng.standard_normal((2, 5, 24, 48)), jnp.float32)
+        variables = ref.init(jax.random.key(0), x)
+        variables = jax.tree_util.tree_map(
+            lambda a: a + 0.3 if a.ndim == 1 else a, variables
+        )
+        y_ref = ref.apply(variables, x)
+        y_sp = spatial_forward(sp, variables, x, mesh24)
+        np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_ref), atol=2e-5)
+
     def test_activations_actually_sharded(self, mesh42, rng):
         """The output device-local shards carry H/2 rows each — the model
         axis genuinely splits H, it does not replicate."""

@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None, help="config family (default: flagship)")
     ap.add_argument("--attn", default="pallas_qkv")
     ap.add_argument("--remat", default="mlp", help="'off' disables activation ckpt")
     ap.add_argument("--bs", type=int, default=1)
@@ -46,7 +47,21 @@ def main():
     from swin_v2_weather_tpu.training.optim import build_optimizer
     from swin_v2_weather_tpu.training.step import TrainState, build_train_step
 
-    params = _flagship_params()
+    if args.config:
+        from __graft_entry__ import _flagship_params as _fp  # noqa: F401
+
+        from swin_v2_weather_tpu.config.yparams import YParams, default_config_path
+        from swin_v2_weather_tpu.data.preprocess import derived_channel_counts
+
+        params = YParams(default_config_path(), args.config)
+        params["in_channels"] = np.asarray(params["in_channels"])
+        params["out_channels"] = np.asarray(params["out_channels"])
+        n_in, n_out_ = derived_channel_counts(params)
+        params["n_in_channels"], params["n_out_channels"] = n_in, n_out_
+        params["img_shape_x"] = int(params.img_size[0])
+        params["img_shape_y"] = int(params.img_size[1])
+    else:
+        params = _flagship_params()
     params["data_loader_config"] = "synthetic"
     params["attn_impl"] = args.attn
     if args.nfuture:
@@ -109,7 +124,7 @@ def main():
         jax.profiler.stop_trace()
 
     print(
-        f"attn={args.attn} remat={args.remat} bs={bs}"
+        f"{args.config or 'flagship'} attn={args.attn} remat={args.remat} bs={bs}"
         f"{' noscan' if args.no_scan else ''}"
         f"{f' nfuture={args.nfuture}' if args.nfuture else ''}: "
         f"{dt * 1e3:.1f} ms/step, {bs / dt:.3f} samples/s/chip "

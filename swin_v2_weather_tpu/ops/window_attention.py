@@ -73,16 +73,18 @@ _NEG_INF = -1e30
 FWD_WINDOW_BUDGET = 8
 BWD_WINDOW_BUDGET = 8
 
+import os as _os
+
 # backward implementation for the qkv-fused (v3) kernel: 'pallas' = the
-# fully-fused backward kernel; 'xla' = recompute qkv in XLA + grid backward
-# kernel (the round-1 path, kept for A/B measurement)
-QKV_BWD_IMPL = "pallas"
+# fully-fused backward kernel; 'xla' = recompute qkv in XLA + v2 grid
+# backward kernel + XLA projection chain (kept for A/B measurement,
+# env-overridable)
+QKV_BWD_IMPL = _os.environ.get("SWIN_QKV_BWD_IMPL", "pallas")
 
 # window chunks per grid step for the v3 kernels (env-overridable for
 # sweeps; at flagship geometry the only valid values are 4 and 20 — and 20
 # was measured infeasible: the fwd kernel needs ~105 MB of scoped VMEM and
 # the Mosaic compile for it OOMs server-side, so 4 is both default and max)
-import os as _os
 
 QKV_FWD_WC = int(_os.environ.get("SWIN_QKV_FWD_WC", "4"))
 QKV_BWD_WC = int(_os.environ.get("SWIN_QKV_BWD_WC", "4"))

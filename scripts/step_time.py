@@ -48,8 +48,6 @@ def main():
     from swin_v2_weather_tpu.training.step import TrainState, build_train_step
 
     if args.config:
-        from __graft_entry__ import _flagship_params as _fp  # noqa: F401
-
         from swin_v2_weather_tpu.config.yparams import YParams, default_config_path
         from swin_v2_weather_tpu.data.preprocess import derived_channel_counts
 

@@ -736,6 +736,17 @@ class SwinTransformerV2(nn.Module):
         n_sp = int(self.spatial_shards)
         if gh % n_sp:
             raise ValueError(f"patch rows {gh} not divisible by spatial_shards {n_sp}")
+        if n_sp > 1 and train and (self.proj_drop_rate > 0 or self.attn_drop_rate > 0):
+            # per-shard rngs are shared so DropPath masks stay per-sample
+            # consistent across latitude bands (correct); elementwise dropout
+            # would silently draw CORRELATED masks across bands instead —
+            # refuse rather than bias training. (All reference configs train
+            # these rates at 0; drop_path is fully supported under SP.)
+            raise NotImplementedError(
+                "elementwise dropout (proj/attn) under spatial sharding would "
+                "correlate masks across latitude shards; train with these "
+                "rates at 0 or without spatial_shards"
+            )
         gh_local = gh // n_sp  # == gh when unsharded
         if n_sp > 1 and gh_local % window[0]:
             raise ValueError(

@@ -74,7 +74,11 @@ def broadcast_config(cfg: Optional[dict]) -> dict:
         payload = np.zeros((0,), np.uint8)
     n = int(multihost_utils.broadcast_one_to_all(np.int64(payload.size)))
     buf = np.zeros(n, np.uint8)
-    buf[: payload.size] = payload[:n]
+    if jax.process_index() == 0:
+        buf[:] = payload[:n]
+    # non-chief contents are ignored by broadcast_one_to_all; only the
+    # shape must match (a non-chief passing its own longer cfg must not
+    # attempt a mismatched slice assignment)
     out = multihost_utils.broadcast_one_to_all(buf)
     return json.loads(np.asarray(out).tobytes().decode())
 

@@ -85,32 +85,65 @@ def _convert_layout_anywhere(tree, to_scan: bool):
     from swin_v2_weather_tpu.models.swin import convert_block_layout
 
     if isinstance(tree, dict):
-        if "pairs" in tree or any(re.fullmatch(r"block\d+", k) for k in tree):
+        is_block = lambda k: k == "pairs" or re.fullmatch(r"block\d+", k)  # noqa: E731
+        if any(is_block(k) for k in tree):
             tree = convert_block_layout(tree, to_scan)
+            # the converted block containers are already in the target
+            # layout — do NOT re-descend into them (re-wrapping 'pairs'
+            # would recurse forever in the to_scan direction)
+            return {
+                k: (v if is_block(k) else _convert_layout_anywhere(v, to_scan))
+                for k, v in tree.items()
+            }
         return {k: _convert_layout_anywhere(v, to_scan) for k, v in tree.items()}
     if isinstance(tree, tuple):
         vals = [_convert_layout_anywhere(v, to_scan) for v in tree]
-        return type(tree)(*vals)
+        # namedtuples (optax states) rebuild by-field; plain tuples by-iterable
+        return type(tree)(*vals) if hasattr(tree, "_fields") else tuple(vals)
+    if isinstance(tree, list):
+        return [_convert_layout_anywhere(v, to_scan) for v in tree]
     return tree
 
 
-def _restore_other_layout(ckptr, _restore, template):
-    """Restore a checkpoint whose blocks use the opposite scan layout."""
-    live_is_scan = any(
-        "pairs" in str(jax.tree_util.keystr(k))
-        for k, _ in jax.tree_util.tree_leaves_with_path(template["params"])
-    )
-    t2 = dict(template)
-    t2["params"] = _convert_layout_anywhere(template["params"], not live_is_scan)
-    t2["opt_state"] = _convert_layout_anywhere(template["opt_state"], not live_is_scan)
-    try:
-        payload = _restore(ckptr, t2)
-    except (KeyError, ValueError):
-        t2.pop("scheduler", None)
-        payload = _restore(ckptr, t2)
-    payload["params"] = _convert_layout_anywhere(payload["params"], live_is_scan)
-    payload["opt_state"] = _convert_layout_anywhere(payload["opt_state"], live_is_scan)
-    return payload
+def _dict_key_paths(tree, prefix="") -> set:
+    """All nested dict key paths ('params/pairs/block0/...') in a tree."""
+    out = set()
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            kp = f"{prefix}/{k}" if prefix else str(k)
+            out.add(kp)
+            out |= _dict_key_paths(v, kp)
+    elif isinstance(tree, (tuple, list)):
+        for i, v in enumerate(tree):
+            out |= _dict_key_paths(v, f"{prefix}[{i}]")
+    return out
+
+
+def _leaf_paths(tree, prefix="") -> set:
+    """Paths of array leaves only, in orbax's naming: namedtuples by FIELD
+    NAME, plain tuples/lists by index. Empty optax states (EmptyState etc.)
+    have no leaves and orbax metadata represents them as None/absent, so
+    only leaf paths are comparable between a live template and the on-disk
+    metadata tree (container paths are not)."""
+    out = set()
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            kp = f"{prefix}/{k}" if prefix else str(k)
+            out |= _leaf_paths(v, kp)
+    elif hasattr(tree, "_fields"):  # namedtuple (optax states)
+        for name, v in zip(tree._fields, tree):
+            kp = f"{prefix}/{name}" if prefix else str(name)
+            out |= _leaf_paths(v, kp)
+    elif isinstance(tree, (tuple, list)):
+        for i, v in enumerate(tree):
+            out |= _leaf_paths(v, f"{prefix}[{i}]")
+    elif tree is not None:
+        out.add(prefix)
+    return out
+
+
+def _is_scan_layout(key_paths: set) -> bool:
+    return any(kp.split("/")[-1] == "pairs" for kp in key_paths)
 
 
 def restore_checkpoint(
@@ -127,6 +160,13 @@ def restore_checkpoint(
     (reference ``train.py:390-393`` gates exactly these fields on
     ``resuming``). The template's arrays keep their live shardings, so
     restore lands directly on the current mesh.
+
+    The on-disk structure is inspected FIRST (orbax metadata): a
+    scan<->unrolled block-layout mismatch restores through a
+    layout-converted template; any other template key missing from disk
+    raises instead of being silently filled from the fresh-init template
+    (``partial_restore`` would otherwise mask e.g. a depth mismatch as a
+    "successful" restore of untrained weights).
     """
     template = {
         "iters": state.step,
@@ -138,11 +178,12 @@ def restore_checkpoint(
         template["scheduler"] = {
             k: np.asarray(v) for k, v in scheduler_template.items()
         }
+
     def _restore(ckptr, item):
         # ArrayRestoreArgs carrying each leaf's live sharding => restore
-        # lands sharded on the current mesh, no host gather. partial_restore:
-        # ignore on-disk keys absent from the template (e.g. the finetune
-        # path never asks for the saved scheduler state).
+        # lands sharded on the current mesh, no host gather. partial_restore
+        # only tolerates keys the coverage check below has already vetted
+        # (e.g. the finetune path never asks for the saved scheduler state).
         restore_args = ocp.checkpoint_utils.construct_restore_args(item)
         return ckptr.restore(
             path,
@@ -152,20 +193,52 @@ def restore_checkpoint(
         )
 
     with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
-        try:
-            payload = _restore(ckptr, template)
-        except (KeyError, ValueError):
-            try:
-                # checkpoint written without scheduler state (older layout)
-                t2 = dict(template)
-                t2.pop("scheduler", None)
-                payload = _restore(ckptr, t2)
-            except (KeyError, ValueError):
-                # scan_blocks layout mismatch: the checkpoint stores blocks
-                # in the other layout (scanned 'pairs' stack vs unrolled
-                # 'block{i}'). Restore through a converted template, then
-                # convert the payload back to the live layout.
-                payload = _restore_other_layout(ckptr, _restore, template)
+        disk_tree = ckptr.metadata(path).item_metadata.tree
+        disk_paths = _dict_key_paths(disk_tree)
+        if "scheduler" in template and "scheduler" not in disk_paths:
+            template.pop("scheduler")  # checkpoint predates scheduler state
+
+        live_scan = _is_scan_layout(_dict_key_paths(template["params"]))
+        disk_scan = _is_scan_layout(
+            {kp for kp in disk_paths if kp.startswith("params")}
+        )
+        convert = live_scan != disk_scan
+        # request only what this restore mode consumes: the finetune path
+        # (resuming=False) loads weights alone, so a missing/mismatched
+        # optimizer state on disk cannot block it
+        request = {
+            "params": _convert_layout_anywhere(template["params"], disk_scan)
+            if convert
+            else template["params"]
+        }
+        if resuming:
+            request["iters"] = template["iters"]
+            request["epoch"] = template["epoch"]
+            request["opt_state"] = (
+                _convert_layout_anywhere(template["opt_state"], disk_scan)
+                if convert
+                else template["opt_state"]
+            )
+            if "scheduler" in template:
+                request["scheduler"] = template["scheduler"]
+
+        # every requested LEAF must exist on disk — otherwise orbax's
+        # partial_restore would silently substitute fresh-init values
+        missing = _leaf_paths(request) - _leaf_paths(disk_tree)
+        if missing:
+            raise ValueError(
+                f"checkpoint at {path} is missing requested keys "
+                f"{sorted(missing)[:8]}{'...' if len(missing) > 8 else ''} — "
+                "refusing a partial restore"
+            )
+        payload = _restore(ckptr, request)
+        if convert:
+            payload["params"] = _convert_layout_anywhere(payload["params"], live_scan)
+            if resuming:
+                payload["opt_state"] = _convert_layout_anywhere(
+                    payload["opt_state"], live_scan
+                )
+
     new_state = state.replace(params=payload["params"])
     out: Dict[str, Any] = {"epoch": 0}
     if resuming:

@@ -365,11 +365,15 @@ class Trainer:
         return time.time() - valid_start, logs
 
     def _save_vis(self, batch) -> None:
+        from swin_v2_weather_tpu.training.step import _apply_model
         from swin_v2_weather_tpu.utils.img_utils import vis
 
         inp, tar, tzen = self.preprocessor(batch)
-        gen = self.model.apply(
-            {"params": self.state.params}, inp, coszen=tzen, train=False
+        # _apply_model routes through shard_map when the model is spatially
+        # sharded (a bare apply would hit lax.axis_index with no bound axis)
+        gen = _apply_model(
+            self.model, self.mesh, {"params": self.state.params}, inp, tzen,
+            None, train=False,
         )
         fig = vis((np.asarray(gen[0, 0]), np.asarray(tar[0, 0])))
         out = os.path.join(self.params["experiment_dir"], f"vis_epoch{self.epoch}.png")

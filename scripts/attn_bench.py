@@ -1,0 +1,153 @@
+"""Standalone timing for the Pallas window-attention kernels on the real chip.
+
+Times the v3 (qkv-fused) forward and backward kernels — and optionally the
+v2 grid kernels (CPB-bias / rel_pos case) — at flagship shape, in isolation
+from the rest of the train step, so kernel-schedule iterations compile in
+minutes instead of the full-step ~15.
+
+Method: the kernel output shape equals its input shape at flagship geometry
+(C_in == C), so N invocations are chained inside one jit via fori_loop —
+no per-call dispatch, and the axon-tunnel non-blocking-dispatch gotcha is
+handled by fetching a scalar reduction of the result.
+
+Usage:
+    python scripts/attn_bench.py [--iters 50] [--which v3,v2] [--fwd-wc 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _time_chain(fn, x0, iters):
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(
+        lambda x: jax.lax.fori_loop(0, iters, lambda i, xx: fn(xx).astype(xx.dtype), x)
+    )
+    r = f(x0)
+    _ = float(jnp.sum(r.astype(jnp.float32)))  # warm + force fetch
+    t0 = time.perf_counter()
+    r = f(x0)
+    _ = float(jnp.sum(r.astype(jnp.float32)))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--which", default="v3")
+    ap.add_argument("--json", default=None, help="append results to this JSONL file")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_xla_cache"),
+    )
+    import jax.numpy as jnp
+
+    from swin_v2_weather_tpu.models.swin import make_shift_mask
+    from swin_v2_weather_tpu.ops import window_attention as wa
+
+    H, W, C, heads, C_in = 180, 360, 768, 8, 768
+    wh, ww = 9, 18
+    rng = np.random.default_rng(0)
+    patt = make_shift_mask((H, W), (wh, ww), (wh // 2, ww // 2))[-1]
+    results = {}
+    which = set(args.which.split(","))
+
+    if "v3" in which:
+        x = jnp.asarray(rng.standard_normal((1, H, W, C_in)) * 0.5, jnp.bfloat16)
+        w_qkv = jnp.asarray(rng.standard_normal((C_in, 3 * C)) * 0.02, jnp.bfloat16)
+        b_qkv = jnp.asarray(rng.standard_normal(3 * C) * 0.01, jnp.float32)
+        scale = jnp.asarray(
+            np.exp(rng.standard_normal(heads) * 0.1 + 1.0), jnp.float32
+        )
+
+        def fwd(xx):
+            return wa.fused_window_attention_qkv(
+                xx, w_qkv, b_qkv, scale, (wh, ww), mask_pattern=patt
+            )
+
+        results["v3_fwd_ms"] = _time_chain(fwd, x, args.iters) * 1e3
+
+        # backward-only chain: vjp residuals captured once, cotangent chained
+        def bwd_chain(x0, g0, iters):
+            def outer(xx, gg):
+                y, vjp = jax.vjp(fwd, xx)
+                def body(i, g):
+                    (dx,) = vjp(g)
+                    return dx.astype(g.dtype)
+                return jax.lax.fori_loop(0, iters, body, gg)
+
+            f = jax.jit(outer)
+            r = f(x0, g0)
+            _ = float(jnp.sum(r.astype(jnp.float32)))
+            t0 = time.perf_counter()
+            r = f(x0, g0)
+            _ = float(jnp.sum(r.astype(jnp.float32)))
+            return (time.perf_counter() - t0) / iters
+
+        g0 = jnp.asarray(rng.standard_normal((1, H, W, C)) * 0.5, jnp.bfloat16)
+        # subtract one fwd (the vjp's primal) amortized over iters: negligible
+        results["v3_bwd_ms"] = bwd_chain(x, g0, args.iters) * 1e3
+
+    if "v2" in which:
+        l = wh * ww
+        q = jnp.asarray(rng.standard_normal((1, H, W, C)) * 0.5, jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((1, H, W, C)) * 0.5, jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((1, H, W, C)) * 0.5, jnp.bfloat16)
+        bias = jnp.asarray(rng.standard_normal((heads, l, l)) * 0.1, jnp.float32)
+        scale = jnp.asarray(
+            np.exp(rng.standard_normal(heads) * 0.1 + 1.0), jnp.float32
+        )
+
+        def fwd2(qq):
+            return wa.fused_window_attention_grid(
+                qq, k, v, scale, (wh, ww), bias=bias, mask_pattern=patt
+            )
+
+        results["v2_bias_fwd_ms"] = _time_chain(fwd2, q, args.iters) * 1e3
+
+        def outer2(qq, gg):
+            y, vjp = jax.vjp(fwd2, qq)
+            def body(i, g):
+                (dq,) = vjp(g)
+                return dq.astype(g.dtype)
+            return jax.lax.fori_loop(0, args.iters, body, gg)
+
+        f2 = jax.jit(outer2)
+        g0 = jnp.asarray(rng.standard_normal((1, H, W, C)) * 0.5, jnp.bfloat16)
+        r = f2(q, g0)
+        _ = float(jnp.sum(r.astype(jnp.float32)))
+        t0 = time.perf_counter()
+        r = f2(q, g0)
+        _ = float(jnp.sum(r.astype(jnp.float32)))
+        results["v2_bias_bwd_ms"] = (time.perf_counter() - t0) / args.iters * 1e3
+
+    env = {
+        k: os.environ[k]
+        for k in ("SWIN_QKV_FWD_WC", "SWIN_QKV_BWD_WC", "SWIN_ATTN_CHUNKS")
+        if k in os.environ
+    }
+    line = {"shape": f"{H}x{W}x{C} h{heads} w{wh}x{ww}", **env,
+            **{k: round(v, 3) for k, v in results.items()}}
+    print(json.dumps(line))
+    if args.json:
+        with open(args.json, "a") as f:
+            f.write(json.dumps(line) + "\n")
+
+
+if __name__ == "__main__":
+    main()

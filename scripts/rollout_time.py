@@ -1,0 +1,87 @@
+"""Measure 14-day (56-step) flagship rollout wall time per initial condition.
+
+Compares the host-stepped rollout (one jitted step per lead time, host
+round-trip + host-side zenith each step) against the scanned rollout (whole
+trajectory in one compiled program, zenith stack precomputed) — the
+inference-throughput role Earth2MIP plays for the reference
+(``README.md:77-78``).
+
+Usage: python scripts/rollout_time.py [--steps 56] [--iters 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=56)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--keep", type=int, default=3, help="channels kept per step")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_xla_cache"),
+    )
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_params
+    from swin_v2_weather_tpu.inference.rollout import RolloutEngine
+    from swin_v2_weather_tpu.models.wrappers import get_model
+
+    params = _flagship_params()
+    params["n_future"] = 0
+    model = get_model(params)
+    h, w = params["img_shape_x"], params["img_shape_y"]
+    n_out = int(params["n_out_channels"])
+
+    rng = np.random.default_rng(0)
+    x = jnp.zeros((1, int(params["n_in_channels"]), h, w), jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+
+    engine = RolloutEngine(params, model, variables)
+    ic = rng.standard_normal((1, n_out, h, w)).astype(np.float32) * 0.1
+    t0 = datetime.datetime(2018, 1, 1)
+    keep = list(range(args.keep))
+
+    # --- scanned path ---
+    out = engine.rollout_scanned(ic, t0, args.steps, keep_channels=keep)
+    _ = float(jnp.sum(out))  # warm + force fetch through the tunnel
+    t = time.perf_counter()
+    for _ in range(args.iters):
+        out = engine.rollout_scanned(ic, t0, args.steps, keep_channels=keep)
+        _ = float(jnp.sum(out))
+    scanned_s = (time.perf_counter() - t) / args.iters
+
+    # --- host-stepped path ---
+    o = engine.rollout(ic, t0, n_steps=args.steps, keep_channels=keep)
+    t = time.perf_counter()
+    for _ in range(args.iters):
+        o = engine.rollout(ic, t0, n_steps=args.steps, keep_channels=keep)
+    host_s = (time.perf_counter() - t) / args.iters
+
+    print(json.dumps({
+        "steps": args.steps,
+        "scanned_s_per_ic": round(scanned_s, 3),
+        "host_stepped_s_per_ic": round(host_s, 3),
+        "scanned_ms_per_step": round(scanned_s / args.steps * 1e3, 2),
+        "host_ms_per_step": round(host_s / args.steps * 1e3, 2),
+        "speedup": round(host_s / scanned_s, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

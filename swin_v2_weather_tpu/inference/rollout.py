@@ -62,8 +62,7 @@ class RolloutEngine:
             )[: self.h]
             self.lon_grid, self.lat_grid = np.meshgrid(longitude, latitude)
 
-        @jax.jit
-        def _step(variables, state, zen):
+        def _assemble(variables, state, zen):
             parts = [state]
             if zen is not None:
                 parts.append(zen)
@@ -74,7 +73,9 @@ class RolloutEngine:
             pred = self.model.apply(variables, inp, train=False)
             return pred.astype(jnp.float32)
 
-        self._step = _step
+        self._assemble = _assemble
+        self._step = jax.jit(_assemble)
+        self._scan_cache = {}
 
     def zenith_at(self, when: datetime.datetime) -> np.ndarray:
         """[1, 1, H, W] cos-zenith channel for a timestamp."""
@@ -112,10 +113,79 @@ class RolloutEngine:
         n_steps: int,
         keep_channels: Optional[Sequence[int]] = None,
     ) -> np.ndarray:
-        """Full rollout to host: [T, B, C', H, W] (C' = kept channels)."""
+        """Full rollout to host: [T, B, C', H, W] (C' = kept channels).
+
+        Host-stepped loop (one jitted step per lead time): streamed and
+        memory-light — any T at one step of device memory. For throughput
+        (the whole trajectory in ONE compiled program) use
+        ``rollout_scanned``.
+        """
         out: List[np.ndarray] = []
         for pred in self.steps(initial_state, start_time, n_steps):
             if keep_channels is not None:
                 pred = pred[:, np.asarray(keep_channels)]
             out.append(np.asarray(pred))
         return np.stack(out)
+
+    def zenith_stack(
+        self, start_time: datetime.datetime, n_steps: int
+    ) -> np.ndarray:
+        """[T, 1, 1, H, W] cos-zenith channels for steps 1..T of a rollout."""
+        when = start_time
+        zs = []
+        for _ in range(n_steps):
+            zs.append(self.zenith_at(when))
+            when = when + datetime.timedelta(hours=self.hours_per_step)
+        return np.stack(zs).astype(np.float32)
+
+    def rollout_scanned(
+        self,
+        initial_state: jnp.ndarray,
+        start_time: Optional[datetime.datetime],
+        n_steps: int,
+        keep_channels: Optional[Sequence[int]] = None,
+    ) -> jnp.ndarray:
+        """Whole-trajectory rollout inside ONE compiled program.
+
+        ``lax.scan`` over lead times with the zenith channels precomputed
+        host-side as a [T, 1, 1, H, W] stack — no per-step host round-trip,
+        dispatch, or host-side ephemeris on the critical path (the
+        host-stepped ``rollout`` pays all three per step). Returns the
+        DEVICE array [T, B, C', H, W]; pass ``keep_channels`` for long
+        rollouts (73 channels x 56 steps at 720x1440 would not fit HBM).
+
+        This is the throughput path for skill evaluation over many initial
+        conditions (the role Earth2MIP plays for the reference,
+        ``README.md:77-78``).
+        """
+        state = jnp.asarray(initial_state, jnp.float32)
+        b = state.shape[0]
+        if self.add_zenith:
+            if start_time is None:
+                raise ValueError("start_time is required when add_zenith is set")
+            zstack = jnp.asarray(self.zenith_stack(start_time, n_steps))
+        else:
+            zstack = jnp.zeros((n_steps, 1, 1, self.h, self.w), jnp.float32)
+        keep_t = tuple(int(c) for c in keep_channels) if keep_channels is not None else None
+        key = (b, keep_t)
+        if key not in self._scan_cache:
+            self._scan_cache[key] = self._build_scan(b, keep_t)
+        return self._scan_cache[key](self.variables, state, zstack)
+
+    def _build_scan(self, b: int, keep_t):
+        assemble = self._assemble
+        add_zenith = self.add_zenith
+        keep = np.asarray(keep_t, np.int32) if keep_t is not None else None
+
+        @jax.jit
+        def run(variables, state, zstack):
+            def body(carry, zen):
+                z = jnp.broadcast_to(zen, (b,) + zen.shape[1:]) if add_zenith else None
+                nxt = assemble(variables, carry, z)
+                out = nxt if keep is None else nxt[:, keep]
+                return nxt, out
+
+            _, outs = jax.lax.scan(body, state, zstack)
+            return outs
+
+        return run

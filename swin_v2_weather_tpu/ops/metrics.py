@@ -135,3 +135,19 @@ def weighted_acc_np(pred: np.ndarray, target: np.ndarray, weighted: bool = True)
         (weight * pred * target).sum()
         / np.sqrt((weight * pred * pred).sum() * (weight * target * target).sum())
     )
+
+
+def top_quantiles_error_np(pred: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """[N, C, H, W] -> [C] numpy oracle of the torch top-quantile error
+    (reference ``utils/weighted_acc_rmse.py:117-126``: 100 log-spaced
+    quantiles in [1 - 1e-3, 1 - 10^-0.1], linear interpolation).
+
+    The reference's own *numpy* variant (``:36-47``) uses a deeper tail
+    (qlim=5) over single-channel fields; this oracle mirrors the torch
+    variant our jitted ``top_quantiles_error`` implements, batch-averaged.
+    """
+    n, c, h, w = pred.shape
+    qtile = 1.0 - np.logspace(-3, -0.1, num=100)
+    p_tar = np.quantile(target.reshape(n, c, h * w), qtile, axis=-1)  # [Q, N, C]
+    p_pred = np.quantile(pred.reshape(n, c, h * w), qtile, axis=-1)
+    return np.mean(np.mean(p_pred - p_tar, axis=0), axis=0)

@@ -80,6 +80,12 @@ import os as _os
 # backward kernel + XLA projection chain (kept for A/B measurement,
 # env-overridable)
 QKV_BWD_IMPL = _os.environ.get("SWIN_QKV_BWD_IMPL", "pallas")
+if QKV_BWD_IMPL not in ("pallas", "xla"):
+    # fail fast: a typo (e.g. 'Pallas') would otherwise silently route the
+    # backward through the slower XLA path and invalidate perf measurements
+    raise ValueError(
+        f"SWIN_QKV_BWD_IMPL={QKV_BWD_IMPL!r} invalid; expected 'pallas' or 'xla'"
+    )
 
 # window chunks per grid step for the v3 kernels (env-overridable for
 # sweeps; at flagship geometry the only valid values are 4 and 20 — and 20
@@ -88,6 +94,13 @@ QKV_BWD_IMPL = _os.environ.get("SWIN_QKV_BWD_IMPL", "pallas")
 
 QKV_FWD_WC = int(_os.environ.get("SWIN_QKV_FWD_WC", "4"))
 QKV_BWD_WC = int(_os.environ.get("SWIN_QKV_BWD_WC", "4"))
+
+# head-chunk software pipelining for the v3 kernels: the [hb, L, L] score /
+# softmax work is split into this many head chunks, and chunk c+1's score
+# matmul is issued before chunk c's softmax so Mosaic can overlap MXU and
+# VPU work (the round-2 profile showed the kernels serialize them). Must
+# divide the head count; 1 = no chunking.
+ATTN_CHUNKS = int(_os.environ.get("SWIN_ATTN_CHUNKS", "2"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -1114,13 +1127,21 @@ def fused_window_attention_grid(
 # ---------------------------------------------------------------------------
 
 
+def _attn_chunks(heads: int) -> int:
+    ch = ATTN_CHUNKS
+    while ch > 1 and heads % ch:
+        ch -= 1
+    return max(ch, 1)
+
+
 def _make_qkv_kernel(wh: int, ww: int, nc: int, heads: int, n_window_rows: int,
                      has_mask: bool):
     l = wh * ww
 
     def kernel(*refs):
         i = 0
-        scale_ref = refs[i]; i += 1
+        scale_ref = refs[i]; i += 1  # SMEM [heads, 1] (unused fwd; API parity)
+        shb_ref = refs[i]; i += 1  # VMEM [hb, 1] fp32: scale repeated per window
         x_ref = refs[i]; i += 1
         w_ref = refs[i]; i += 1
         b_ref = refs[i]; i += 1
@@ -1129,6 +1150,7 @@ def _make_qkv_kernel(wh: int, ww: int, nc: int, heads: int, n_window_rows: int,
         out_ref = refs[i]; i += 1
         qkv_ref = refs[i]
 
+        del scale_ref
         c_in = x_ref.shape[-1]
         c3 = w_ref.shape[-1]
         c = c3 // 3
@@ -1170,32 +1192,56 @@ def _make_qkv_kernel(wh: int, ww: int, nc: int, heads: int, n_window_rows: int,
         v = qkv_ref[2].reshape(hb, l, hd)
         q = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-24))
         k = k * jax.lax.rsqrt(jnp.maximum(jnp.sum(k * k, -1, keepdims=True), 1e-24))
-        s = jax.lax.dot_general(
-            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        q16 = q.astype(jnp.bfloat16)
+        k16 = k.astype(jnp.bfloat16)
+
+        # head-chunk software pipeline: chunk c+1's score matmul is issued
+        # before chunk c's softmax so the MXU runs ahead of the VPU. The
+        # softmax is MAX-FREE: scaled-cosine logits are bounded by the
+        # per-head scale (|qn.kn| <= 1, diagonal == 1 exactly), so
+        # exp((s - 1) * scale) <= 1 with at least one row entry == 1 — the
+        # usual running-max pass and its serial dependency are provably
+        # unnecessary. The per-head scale arrives as a [hb, 1] vector and
+        # broadcast-fuses into the same VPU pass as the exp (the former
+        # per-head concatenate materialized a full second copy of s).
+        n_ch = _attn_chunks(heads)
+        sz = hb // n_ch
+        s_c: list = [None] * n_ch
+        s_c[0] = jax.lax.dot_general(
+            q16[:sz], k16[:sz],
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        # per-head logit scale: static batch-dim slices (SMEM scalar reads;
-        # a repeat/reshape of a [heads] vector is an unsupported relayout)
-        s = jnp.concatenate(
-            [s[h * nc : (h + 1) * nc] * scale_ref[h, 0] for h in range(heads)], 0
-        )
-        if mask_add is not None:
-            s = s + mask_add
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        # p never materializes in fp32: fused (e * 1/sum) -> bf16
-        p16 = (e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))).astype(jnp.bfloat16)
-        out = jax.lax.dot_general(
-            p16, v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [hb, L, hd]
-
-        for hh in range(heads):  # static unroll: slab-ify + store per head
-            o = out[hh * nc : (hh + 1) * nc]  # [nc, L, hd]
-            o = o.reshape(nc, wh, ww, hd).transpose(1, 0, 2, 3).reshape(wh, wc, hd)
-            out_ref[0, :, :, hh * hd : (hh + 1) * hd] = o.astype(out_ref.dtype)
+        for ci in range(n_ch):
+            lo, hi = ci * sz, (ci + 1) * sz
+            if ci + 1 < n_ch:
+                s_c[ci + 1] = jax.lax.dot_general(
+                    q16[hi : hi + sz], k16[hi : hi + sz],
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+            scl = shb_ref[lo:hi, :].reshape(sz, 1, 1)
+            z = (s_c[ci] - 1.0) * scl
+            if mask_add is not None:
+                z = z + mask_add
+            e = jnp.exp(z)
+            # p never materializes in fp32: fused (e * 1/sum) -> bf16
+            p16 = (e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))).astype(
+                jnp.bfloat16
+            )
+            out = jax.lax.dot_general(
+                p16, v[lo:hi],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [sz, L, hd]
+            hpc = heads // n_ch
+            for j in range(hpc):  # static unroll: slab-ify + store per head
+                hh = ci * hpc + j
+                o = out[j * nc : (j + 1) * nc]  # [nc, L, hd]
+                o = o.reshape(nc, wh, ww, hd).transpose(1, 0, 2, 3).reshape(
+                    wh, wc, hd
+                )
+                out_ref[0, :, :, hh * hd : (hh + 1) * hd] = o.astype(out_ref.dtype)
 
     return kernel
 
@@ -1217,6 +1263,7 @@ def _qkv_forward(x, w_qkv, b_qkv, scale, mask_pattern, window, interpret,
     has_mask = mask_pattern is not None
 
     grid = (b, nwh, nww // nc)
+    hb = heads * nc
     x_spec = pl.BlockSpec(
         (1, wh, wc, c_in), lambda bi, r, wcix: (bi, r, wcix, 0), memory_space=pltpu.VMEM
     )
@@ -1225,12 +1272,15 @@ def _qkv_forward(x, w_qkv, b_qkv, scale, mask_pattern, window, interpret,
     )
     in_specs = [
         pl.BlockSpec((heads, 1), lambda bi, r, wcix: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((hb, 1), lambda bi, r, wcix: (0, 0), memory_space=pltpu.VMEM),
         x_spec,
         pl.BlockSpec((c_in, c3), lambda bi, r, wcix: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, c3), lambda bi, r, wcix: (0, 0), memory_space=pltpu.VMEM),
     ]
+    scale_f = scale.astype(jnp.float32)
     args = [
-        scale.astype(jnp.float32).reshape(heads, 1),
+        scale_f.reshape(heads, 1),
+        jnp.repeat(scale_f, nc).reshape(hb, 1),  # head-major [hb, 1]
         x,
         w_qkv,
         b_qkv.reshape(1, c3).astype(jnp.float32),
@@ -1293,6 +1343,7 @@ def _make_qkv_bwd_kernel(wh: int, ww: int, nc: int, heads: int,
     def kernel(*refs):
         i = 0
         scale_ref = refs[i]; i += 1
+        shb_ref = refs[i]; i += 1  # VMEM [hb, 1] fp32: scale repeated per window
         x_ref = refs[i]; i += 1
         w_ref = refs[i]; i += 1
         b_ref = refs[i]; i += 1
@@ -1364,82 +1415,89 @@ def _make_qkv_bwd_kernel(wh: int, ww: int, nc: int, heads: int,
         qn16 = qn.astype(jnp.bfloat16)
         kn16 = kn.astype(jnp.bfloat16)
 
-        s = jax.lax.dot_general(
-            qn16, kn16,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [hb, L, L]
-        # per-head logit scale via static batch-dim slices (SMEM scalars)
-        s = jnp.concatenate(
-            [s[h * nc : (h + 1) * nc] * scale_ref[h, 0] for h in range(heads)], 0
-        )
-        if has_mask:
-            s = s + mask_add
-        # minimal-pass softmax recompute: never materialize fp32 p. With
-        # r = 1/sum(e), p = e*r, and the softmax vjp rewrites exactly as
+        # head-chunk software pipeline (see the forward kernel): chunk c+1's
+        # score matmul issues before chunk c's softmax-vjp VPU work. The
+        # minimal-pass softmax recompute never materializes fp32 p — with
+        # r = 1/sum(e), p = e*r, the vjp rewrites exactly as
         #   ds = p*(dp - sum(dp*p)) = (dp - r*sum(dp*e)) * e * r
-        # so the whole chain is: exp, row-sum, p16 cast, row-sum(dp*e),
-        # one fused (sub*mul*mul) pass — ~2/3 of the naive VPU traffic on
-        # the [hb, L, L] arrays (the kernel is VPU+MXU serial-sum bound).
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
-        p16 = (e * r).astype(jnp.bfloat16)
-
-        # dv = p^T g and dp = g v^T share batched-dot shapes; run each as one
-        # hb-batched dot (heads vectorized)
-        dv = jax.lax.dot_general(
-            p16, g,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [hb, L, hd]
-        dp = jax.lax.dot_general(
-            g, v,
+        # and is MAX-FREE: z = (s - 1)*scale <= 0 with a 1 on each row's
+        # diagonal in the exp domain (scaled-cosine bound), so no running
+        # max is needed. The per-head scale broadcast-fuses into the same
+        # passes (the former concatenates copied s and ds once each).
+        n_ch = _attn_chunks(heads)
+        sz = hb // n_ch
+        hpc = heads // n_ch
+        dscale_h = [None] * heads
+        s_c: list = [None] * n_ch
+        s_c[0] = jax.lax.dot_general(
+            qn16[:sz], kn16[:sz],
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [hb, L, L]
-        u = jnp.sum(dp * e, axis=-1, keepdims=True)
-        # per-head scale folded into the same pass (r * scale_h is rowwise)
-        dsb = jnp.concatenate(
-            [
-                ((dp - u * r)[h * nc : (h + 1) * nc]
-                 * e[h * nc : (h + 1) * nc]
-                 * (r[h * nc : (h + 1) * nc] * scale_ref[h, 0]))
-                for h in range(heads)
-            ],
-            0,
-        ).astype(jnp.bfloat16)
-        dqn = jax.lax.dot_general(
-            dsb, kn16,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
         )
-        dkn = jax.lax.dot_general(
-            dsb, qn16,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        # d(scale): sum(ds * s_pre) == sum(qn * (ds @ kn)) == sum(qn*dqn)/scale
-        qd = jnp.sum(qn * dqn, -1, keepdims=True)  # [hb, L, 1]
-        kd = jnp.sum(kn * dkn, -1, keepdims=True)
-        dscale_h = [
-            jnp.sum(qd[h * nc : (h + 1) * nc]) / scale_ref[h, 0]
-            for h in range(heads)
-        ]
-        # normalization vjp: dq = (dqn - qn <qn, dqn>) * inv
-        dq = (dqn - qn * qd) * inv_q
-        dk = (dkn - kn * kd) * inv_k
+        for ci in range(n_ch):
+            lo, hi = ci * sz, (ci + 1) * sz
+            if ci + 1 < n_ch:
+                s_c[ci + 1] = jax.lax.dot_general(
+                    qn16[hi : hi + sz], kn16[hi : hi + sz],
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+            scl = shb_ref[lo:hi, :].reshape(sz, 1, 1)
+            z = (s_c[ci] - 1.0) * scl
+            if has_mask:
+                z = z + mask_add
+            e = jnp.exp(z)
+            r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            p16 = (e * r).astype(jnp.bfloat16)
 
-        for h in range(heads):  # static lane slices back into the 3C slab
-            dqkv_ref[:, :, h * hd : (h + 1) * hd] = dq[
-                h * nc : (h + 1) * nc
-            ].astype(jnp.bfloat16)
-            dqkv_ref[:, :, c + h * hd : c + (h + 1) * hd] = dk[
-                h * nc : (h + 1) * nc
-            ].astype(jnp.bfloat16)
-            dqkv_ref[:, :, 2 * c + h * hd : 2 * c + (h + 1) * hd] = dv[
-                h * nc : (h + 1) * nc
-            ].astype(jnp.bfloat16)
+            gc = g[lo:hi]
+            dv = jax.lax.dot_general(
+                p16, gc,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [sz, L, hd]
+            dp = jax.lax.dot_general(
+                gc, v[lo:hi],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [sz, L, L]
+            u = jnp.sum(dp * e, axis=-1, keepdims=True)
+            dsb = ((dp - u * r) * e * (r * scl)).astype(jnp.bfloat16)
+            dqn = jax.lax.dot_general(
+                dsb, kn16[lo:hi],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            dkn = jax.lax.dot_general(
+                dsb, qn16[lo:hi],
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            # d(scale): sum(ds*s_pre) == sum(qn*(ds@kn)) == sum(qn*dqn)/scale
+            qnc, knc = qn[lo:hi], kn[lo:hi]
+            qd = jnp.sum(qnc * dqn, -1, keepdims=True)  # [sz, L, 1]
+            kd = jnp.sum(knc * dkn, -1, keepdims=True)
+            for j in range(hpc):
+                hh = ci * hpc + j
+                dscale_h[hh] = (
+                    jnp.sum(qd[j * nc : (j + 1) * nc]) / scale_ref[hh, 0]
+                )
+            # normalization vjp: dq = (dqn - qn <qn, dqn>) * inv
+            dq = (dqn - qnc * qd) * inv_q[lo:hi]
+            dk = (dkn - knc * kd) * inv_k[lo:hi]
+
+            for j in range(hpc):  # static lane slices back into the 3C slab
+                hh = ci * hpc + j
+                sl = slice(j * nc, (j + 1) * nc)
+                dqkv_ref[:, :, hh * hd : (hh + 1) * hd] = dq[sl].astype(
+                    jnp.bfloat16
+                )
+                dqkv_ref[:, :, c + hh * hd : c + (hh + 1) * hd] = dk[sl].astype(
+                    jnp.bfloat16
+                )
+                dqkv_ref[:, :, 2 * c + hh * hd : 2 * c + (hh + 1) * hd] = dv[
+                    sl
+                ].astype(jnp.bfloat16)
 
         # un-window dqkv back to the slab layout: [nc, L, 3C] -> [wh*wc, 3C]
         d = dqkv_ref[...].reshape(nc, wh, ww, c3).transpose(1, 0, 2, 3)
@@ -1489,6 +1547,7 @@ def _qkv_backward(x, w_qkv, b_qkv, scale, g, mask_pattern, window, interpret,
     has_mask = mask_pattern is not None
 
     grid = (b, nwh, nww // nc)
+    hb = heads * nc
     x_spec = pl.BlockSpec(
         (1, wh, wc, c_in), lambda bi, r, wcix: (bi, r, wcix, 0), memory_space=pltpu.VMEM
     )
@@ -1497,13 +1556,16 @@ def _qkv_backward(x, w_qkv, b_qkv, scale, g, mask_pattern, window, interpret,
     )
     in_specs = [
         pl.BlockSpec((heads, 1), lambda bi, r, wcix: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((hb, 1), lambda bi, r, wcix: (0, 0), memory_space=pltpu.VMEM),
         x_spec,
         pl.BlockSpec((c_in, c3), lambda bi, r, wcix: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, c3), lambda bi, r, wcix: (0, 0), memory_space=pltpu.VMEM),
         g_spec,
     ]
+    scale_f = scale.astype(jnp.float32)
     args = [
-        scale.astype(jnp.float32).reshape(heads, 1),
+        scale_f.reshape(heads, 1),
+        jnp.repeat(scale_f, nc).reshape(hb, 1),  # head-major [hb, 1]
         x,
         w_qkv,
         b_qkv.reshape(1, c3).astype(jnp.float32),

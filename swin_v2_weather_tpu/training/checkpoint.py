@@ -105,6 +105,68 @@ def _convert_layout_anywhere(tree, to_scan: bool):
     return tree
 
 
+def _tree_mesh(tree):
+    """Mesh of the first NamedSharding-carrying leaf, or None."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        sh = getattr(leaf, "sharding", None)
+        if isinstance(sh, jax.sharding.NamedSharding):
+            return sh.mesh
+    return None
+
+
+def _convert_request_template(subtree, to_scan: bool):
+    """Layout-convert a restore-request template WITHOUT materializing it.
+
+    ``_convert_layout_anywhere`` stacks/slices live arrays; done eagerly on
+    the template that would drop the live mesh shardings and momentarily
+    materialize a second copy of the full state. Instead the converted
+    template is built from ``jax.eval_shape`` (shapes/dtypes only) with an
+    explicit replicated NamedSharding on the live mesh attached to every
+    leaf, so ``construct_restore_args`` still carries mesh shardings and the
+    restore lands on device directly. The replicated intermediate means a
+    layout-converting resume of a ZeRO-1-sharded opt_state briefly holds a
+    replicated copy per chip — acceptable at restore time; the post-restore
+    conversion re-shards under jit (see ``_convert_payload``).
+
+    Falls back to the eager conversion for host-array templates (tests).
+    """
+    import functools
+
+    mesh = _tree_mesh(subtree)
+    if mesh is None:
+        return _convert_layout_anywhere(subtree, to_scan)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    shapes = jax.eval_shape(
+        functools.partial(_convert_layout_anywhere, to_scan=to_scan), subtree
+    )
+    return jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=repl), shapes
+    )
+
+
+def _convert_payload(restored, template_subtree, to_scan: bool):
+    """Convert a restored subtree back to the live layout, keeping the live
+    template's shardings (conversion runs under jit with out_shardings)."""
+    import functools
+
+    mesh = _tree_mesh(template_subtree)
+    fn = functools.partial(_convert_layout_anywhere, to_scan=to_scan)
+    if mesh is None:
+        return fn(restored)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    out_sh = jax.tree_util.tree_map(
+        lambda a: a.sharding
+        if isinstance(getattr(a, "sharding", None), jax.sharding.NamedSharding)
+        else repl,
+        template_subtree,
+    )
+    return jax.jit(fn, out_shardings=out_sh)(restored)
+
+
 def _dict_key_paths(tree, prefix="") -> set:
     """All nested dict key paths ('params/pairs/block0/...') in a tree."""
     out = set()
@@ -207,7 +269,7 @@ def restore_checkpoint(
         # (resuming=False) loads weights alone, so a missing/mismatched
         # optimizer state on disk cannot block it
         request = {
-            "params": _convert_layout_anywhere(template["params"], disk_scan)
+            "params": _convert_request_template(template["params"], disk_scan)
             if convert
             else template["params"]
         }
@@ -215,7 +277,7 @@ def restore_checkpoint(
             request["iters"] = template["iters"]
             request["epoch"] = template["epoch"]
             request["opt_state"] = (
-                _convert_layout_anywhere(template["opt_state"], disk_scan)
+                _convert_request_template(template["opt_state"], disk_scan)
                 if convert
                 else template["opt_state"]
             )
@@ -233,10 +295,12 @@ def restore_checkpoint(
             )
         payload = _restore(ckptr, request)
         if convert:
-            payload["params"] = _convert_layout_anywhere(payload["params"], live_scan)
+            payload["params"] = _convert_payload(
+                payload["params"], template["params"], live_scan
+            )
             if resuming:
-                payload["opt_state"] = _convert_layout_anywhere(
-                    payload["opt_state"], live_scan
+                payload["opt_state"] = _convert_payload(
+                    payload["opt_state"], template["opt_state"], live_scan
                 )
 
     new_state = state.replace(params=payload["params"])

@@ -82,17 +82,25 @@ class CosineAnnealingLR:
 
 class ReduceLROnPlateau:
     """Torch ``ReduceLROnPlateau(factor=0.2, patience=5, mode='min')`` twin
-    (reference ``train.py:211-212, 240-241``)."""
+    (reference ``train.py:211-212, 240-241``).
 
-    def __init__(self, base_lr: float, factor: float = 0.2, patience: int = 5):
+    Matches torch's default relative-improvement test (``threshold=1e-4``,
+    ``threshold_mode='rel'``): an epoch only counts as an improvement when
+    ``metric < best * (1 - threshold)`` — a run plateauing with
+    micro-improvements decays the LR exactly where torch would.
+    """
+
+    def __init__(self, base_lr: float, factor: float = 0.2, patience: int = 5,
+                 threshold: float = 1e-4):
         self.lr = float(base_lr)
         self.factor = factor
         self.patience = patience
+        self.threshold = float(threshold)
         self.best = float("inf")
         self.bad_epochs = 0
 
     def step(self, metric: float) -> float:
-        if metric < self.best:
+        if metric < self.best * (1.0 - self.threshold):
             self.best = metric
             self.bad_epochs = 0
         else:

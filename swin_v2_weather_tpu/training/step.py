@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from swin_v2_weather_tpu.ops.metrics import weighted_rmse
+from swin_v2_weather_tpu.ops.metrics import weighted_acc, weighted_rmse
 from swin_v2_weather_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
 
@@ -55,32 +55,48 @@ class TrainState(flax.struct.PyTreeNode):
         )
 
 
-def state_shardings(state_abstract, mesh, shard_opt_state: bool = False):
+def state_shardings(state_abstract, mesh, shard_opt_state: bool = False,
+                    shard_params: bool = False):
     """Shardings pytree for a TrainState.
 
     Default: everything replicated (the reference's DDP layout). With
     ``shard_opt_state`` (ZeRO-1 style), the optimizer moments shard their
-    leading dim over ``data`` — per-chip Adam memory drops by the data-axis
-    size; XLA re-gathers the (sharded) updates into the replicated params
-    during the fused update, which rides ICI like the gradient psum. Worth
-    it beyond ~16 chips (ROADMAP #7); scalars and indivisible leaves stay
-    replicated.
+    first data-divisible dim over ``data`` — per-chip Adam memory drops by
+    the data-axis size; XLA re-gathers the (sharded) updates into the
+    replicated params during the fused update, which rides ICI like the
+    gradient psum. Worth it beyond ~16 chips (ROADMAP #7).
+
+    With ``shard_params`` (FSDP/ZeRO-3 style, implies sharded moments), the
+    *parameters themselves* shard the same way: the SPMD partitioner inserts
+    per-layer all-gathers on use in forward/backward and reduce-scatters the
+    gradients, so per-chip memory for params+moments+grads drops by the
+    data-axis size at the cost of re-gathering weights each step. This is
+    what makes the e2048 family (``config/swin.yaml``
+    ``swin_73var_geo_depth24_e2048_mlp2_chweight_invar``, reference
+    ``config/swin.yaml:221-227``) trainable: its fp32 params + Adam moments
+    alone (~11 GB) exceed one v5e's 16 GB HBM. Scalars and indivisible
+    leaves stay replicated.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
-    if not shard_opt_state:
+    if not (shard_opt_state or shard_params):
         return jax.tree_util.tree_map(lambda _: repl, state_abstract)
     ndata = int(mesh.shape["data"])
 
     def opt_leaf(x):
-        # shard the largest data-divisible dim (scan-stacked params carry a
-        # tiny leading axis, so dim 0 alone would leave everything replicated)
+        # Deterministic rule: shard the FIRST data-divisible dim. Scan-stacked
+        # params carry a tiny leading axis (< ndata), so it is skipped
+        # naturally; for square/tied-dim weights the choice no longer depends
+        # on which dim "wins", keeping the ZeRO-1 layout — and therefore
+        # checkpoint restore sharding expectations — stable across
+        # model-shape tweaks (ADVICE r2).
         shape = getattr(x, "shape", ())
-        best, best_size = None, 0
+        best = None
         for d, n in enumerate(shape):
-            if n >= ndata and n % ndata == 0 and n > best_size:
-                best, best_size = d, n
+            if n >= ndata and n % ndata == 0:
+                best = d
+                break
         if best is None:
             return repl
         spec = [None] * len(shape)
@@ -89,7 +105,9 @@ def state_shardings(state_abstract, mesh, shard_opt_state: bool = False):
 
     return state_abstract.replace(
         step=repl,
-        params=jax.tree_util.tree_map(lambda _: repl, state_abstract.params),
+        params=jax.tree_util.tree_map(
+            opt_leaf if shard_params else (lambda _: repl), state_abstract.params
+        ),
         opt_state=jax.tree_util.tree_map(opt_leaf, state_abstract.opt_state),
     )
 
@@ -196,7 +214,7 @@ def build_train_step(
 
 
 def build_eval_step(model, loss_handler, preprocessor, mesh, n_out_channels: int,
-                    loss_scale: Optional[float] = None):
+                    loss_scale: Optional[float] = None, params_sharding=None):
     """Compile fn(params, batch) -> {'loss', 'rmse'[C]} over the mesh.
 
     RMSE is computed on the final rollout step's channels (reference
@@ -215,8 +233,17 @@ def build_eval_step(model, loss_handler, preprocessor, mesh, n_out_channels: int
         loss = loss_handler(gen, tar, inp) * loss_scale
         gen_last = gen[:, -n_out_channels:]
         tar_last = tar[:, -n_out_channels:]
-        return {"loss": loss, "rmse": weighted_rmse(gen_last, tar_last)}
+        # per-channel lat-weighted ACC on the normalized (z-scored) fields —
+        # the metric the reference allocates but never computes
+        # (train.py:313); normalization by the global means makes these
+        # anomaly-like, matching the in-training-validation intent
+        return {
+            "loss": loss,
+            "rmse": weighted_rmse(gen_last, tar_last),
+            "acc": weighted_acc(gen_last, tar_last),
+        }
 
     repl = replicated_sharding(mesh)
     bsh = batch_sharding(mesh, spatial=_model_spatial_shards(model) > 1)
-    return jax.jit(eval_fn, in_shardings=(repl, bsh), out_shardings=repl)
+    psh = params_sharding if params_sharding is not None else repl
+    return jax.jit(eval_fn, in_shardings=(psh, bsh), out_shardings=repl)

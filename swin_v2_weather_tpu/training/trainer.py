@@ -80,6 +80,15 @@ class Trainer:
     # ------------------------------------------------------------------
     def build(self):
         params = self.params
+        if self.sweep_id is not None and self.is_chief:
+            # running inside a wandb agent trial: the sweep server's mutated
+            # params arrive via wandb.config after wandb.init() — merge them
+            # before anything derived is computed (reference train.py:118-123)
+            import wandb
+
+            if getattr(wandb, "run", None) is None:
+                wandb.init()
+            params.update_params(dict(wandb.config))
         if self.sweep_id is not None and self.process_count > 1:
             # the wandb agent mutated the chief's params only — every process
             # must see the same trial config (reference train.py:130-139)
@@ -94,8 +103,15 @@ class Trainer:
         params["n_in_channels"] = n_in
         params["n_out_channels"] = n_out
 
-        # experiment dirs (reference train.py:100-116)
-        exp_dir = os.path.join(self.root_dir, self.config, str(self.run_num))
+        # experiment dirs (reference train.py:100-116); sweep trials get a
+        # sweep-scoped dir so different sweeps don't resume each other
+        # (reference train.py:101-103)
+        if self.sweep_id is not None:
+            exp_dir = os.path.join(
+                self.root_dir, "sweeps", str(self.sweep_id), self.config, str(self.run_num)
+            )
+        else:
+            exp_dir = os.path.join(self.root_dir, self.config, str(self.run_num))
         if self.is_chief:
             os.makedirs(os.path.join(exp_dir, "training_checkpoints"), exist_ok=True)
         exp_dir = os.path.abspath(exp_dir)
@@ -165,7 +181,9 @@ class Trainer:
             lambda p: TrainState.create(p, self.optimizer), variables["params"]
         )
         ssh = state_shardings(
-            abstract, self.mesh, bool(getattr(params, "shard_opt_state", False))
+            abstract, self.mesh,
+            shard_opt_state=bool(getattr(params, "shard_opt_state", False)),
+            shard_params=bool(getattr(params, "shard_params", False)),
         )
         self.state = jax.jit(
             lambda p: TrainState.create(p, self.optimizer), out_shardings=ssh
@@ -177,7 +195,8 @@ class Trainer:
             state_shardings=ssh,
         )
         self.eval_step = build_eval_step(
-            self.model, self.loss_obj, self.preprocessor, self.mesh, n_out
+            self.model, self.loss_obj, self.preprocessor, self.mesh, n_out,
+            params_sharding=ssh.params,
         )
 
         # restore (reference train.py:195-206)
@@ -353,11 +372,14 @@ class Trainer:
         valid_rmse = rmse_sum / steps * np.asarray(self.valid_stds, np.float64)
         logs = {"valid_loss": loss_sum / steps}
 
+        acc_mean = np.mean([np.asarray(o["acc"], np.float64) for o in outs], axis=0)
+
         track = list(getattr(self.params, "track_channels", ["u10m", "v10m"]))
         names = list(self.params.channel_names)
         for var in track:
             if var in names:
                 logs[f"valid_rmse_{var}"] = float(valid_rmse[names.index(var)])
+                logs[f"valid_acc_{var}"] = float(acc_mean[names.index(var)])
 
         # pred-vs-target panel (reference train.py:331-332, 365-369)
         if self.is_chief and bool(getattr(self.params, "save_vis", False)) and last_batch:

@@ -27,7 +27,10 @@ class MetricsSink:
             try:
                 import wandb
 
-                wandb.init(dir=exp_dir, **(wandb_kwargs or {}))
+                if getattr(wandb, "run", None) is None:
+                    wandb.init(dir=exp_dir, **(wandb_kwargs or {}))
+                # else: a sweep agent already opened the trial run
+                # (reference train.py:118-123) — attach to it as-is
                 self._wandb = wandb
             except ImportError:
                 pass

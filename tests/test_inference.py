@@ -69,6 +69,28 @@ class TestRolloutEngine:
         # autoregression: step 2 differs from step 1
         assert not np.allclose(preds[0], preds[1])
 
+    def test_scanned_rollout_matches_host_stepped(self, tmp_path):
+        """rollout_scanned (lax.scan, one compiled program, precomputed
+        zenith stack) reproduces the host-stepped rollout exactly —
+        including the keep_channels slicing."""
+        p, exp_dir = trained_exp(tmp_path)
+        reg = export_model(exp_dir, str(tmp_path / "registry"))
+        model, variables, rp = load_model(reg)
+        engine = RolloutEngine(rp, model, variables)
+
+        ic = np.random.default_rng(2).standard_normal((1, 4, 24, 48)).astype(np.float32)
+        t0 = datetime.datetime(2018, 3, 15, 6)
+        host = engine.rollout(ic, t0, n_steps=4)
+        scanned = np.asarray(engine.rollout_scanned(ic, t0, n_steps=4))
+        np.testing.assert_allclose(scanned, host, atol=1e-6)
+
+        host_k = engine.rollout(ic, t0, n_steps=4, keep_channels=[0, 2])
+        scanned_k = np.asarray(
+            engine.rollout_scanned(ic, t0, n_steps=4, keep_channels=[0, 2])
+        )
+        assert scanned_k.shape == (4, 1, 2, 24, 48)
+        np.testing.assert_allclose(scanned_k, host_k, atol=1e-6)
+
     def test_rollout_matches_manual_feedback(self, tmp_path):
         """One engine step == manually assembling [state, zen, static]."""
         p, exp_dir = trained_exp(tmp_path)

@@ -88,6 +88,16 @@ def test_numpy_oracles_roughly_agree_with_jax(rng):
     assert abs(got - via_jax) / got < 1e-4
 
 
+def test_top_quantiles_error_matches_numpy_oracle(rng):
+    pred = rng.normal(size=(2, 3, 16, 32))
+    tar = rng.normal(size=(2, 3, 16, 32))
+    got = np.asarray(
+        M.top_quantiles_error(jnp.asarray(pred, jnp.float32), jnp.asarray(tar, jnp.float32))
+    )
+    want = M.top_quantiles_error_np(pred, tar)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_top_quantiles_error_sign(rng):
     tar = jnp.asarray(rng.normal(size=(2, 3, 16, 32)), jnp.float32)
     # predictions with inflated extremes have positive quantile error

@@ -143,3 +143,113 @@ class TestZero1OptStateSharding:
         pz = jax.tree_util.tree_leaves(state_z.params)[0]
         pr = jax.tree_util.tree_leaves(state_r.params)[0]
         np.testing.assert_allclose(np.asarray(pz), np.asarray(pr), atol=1e-6)
+
+
+class TestFsdpParamSharding:
+    """FSDP/ZeRO-3 (shard_params): parameters AND moments shard over 'data';
+    GSPMD inserts per-layer gathers + gradient reduce-scatters. This is what
+    makes the e2048 family trainable (VERDICT r2 next #4)."""
+
+    def test_sharded_params_step_matches_replicated(self, mesh8):
+        from swin_v2_weather_tpu.training.step import state_shardings
+
+        z = TestZero1OptStateSharding()
+        params, model, optimizer, variables, batch, (
+            loss_obj, pre, TrainState, build_train_step
+        ) = z._setup(mesh8)
+
+        abstract = jax.eval_shape(
+            lambda p: TrainState.create(p, optimizer), variables["params"]
+        )
+        ssh = state_shardings(abstract, mesh8, shard_params=True)
+        make = jax.jit(lambda p: TrainState.create(p, optimizer), out_shardings=ssh)
+        state_f = make(variables["params"])
+
+        # params are genuinely sharded: the largest param leaf is split 8 ways
+        leaf = max(jax.tree_util.tree_leaves(state_f.params), key=lambda a: a.size)
+        local = leaf.addressable_shards[0].data.shape
+        assert np.prod(local) * 8 == leaf.size, (local, leaf.shape)
+
+        step_f = build_train_step(model, loss_obj, pre, optimizer, mesh8,
+                                  state_shardings=ssh)
+        state_f, metrics_f = step_f(state_f, batch, jax.random.key(1))
+
+        state_r = TrainState.create(variables["params"], optimizer)
+        step_r = build_train_step(model, loss_obj, pre, optimizer, mesh8)
+        state_r, metrics_r = step_r(state_r, batch, jax.random.key(1))
+
+        np.testing.assert_allclose(
+            float(metrics_f["loss"]), float(metrics_r["loss"]), rtol=1e-6
+        )
+        # updated (sharded) params agree with the replicated layout
+        fz = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(state_f.params)}
+        for k, pr in jax.tree_util.tree_leaves_with_path(state_r.params):
+            ks = jax.tree_util.keystr(k)
+            np.testing.assert_allclose(
+                np.asarray(fz[ks]), np.asarray(pr), atol=1e-6, err_msg=ks
+            )
+
+    @pytest.mark.slow
+    def test_e2048_geometry_trains_fsdp(self, mesh8):
+        """The full e2048 parameter geometry (embed 2048, depth 24, mlp2 —
+        reference ``config/swin.yaml:221-227``; ~807M block params) runs a
+        train step on the 8-device mesh with ``shard_params``, at reduced
+        image size (the HBM budget argument lives in ROADMAP.md: fp32
+        params+moments ≈ 11.4 GB full-geometry, /N per chip under FSDP)."""
+        import jax.numpy as jnp
+        import numpy as onp
+
+        from __graft_entry__ import _flagship_params
+        from swin_v2_weather_tpu.data.preprocess import Preprocessor
+        from swin_v2_weather_tpu.data.synthetic import SyntheticDataset
+        from swin_v2_weather_tpu.models.wrappers import get_model
+        from swin_v2_weather_tpu.ops.losses import LossHandler
+        from swin_v2_weather_tpu.parallel.mesh import batch_sharding
+        from swin_v2_weather_tpu.training.optim import build_optimizer
+        from swin_v2_weather_tpu.training.step import (
+            TrainState,
+            build_train_step,
+            state_shardings,
+        )
+
+        params = _flagship_params(tiny=True)
+        params["embed_dim"] = 2048
+        params["depth"] = 24
+        params["mlp_ratio"] = 2
+        params["num_heads"] = 8
+        params["batch_size"] = 8
+        params["activation_ckpt"] = True
+
+        model = get_model(params)
+        dataset = SyntheticDataset(params, train=True, n_samples=8)
+        samples = [dataset[i] for i in range(8)]
+        batch = {
+            k: jax.device_put(onp.stack(parts), batch_sharding(mesh8))
+            for k, parts in zip(("inp", "tar", "zen_inp", "zen_tar"), zip(*samples))
+        }
+        x = jnp.zeros(
+            (1, int(params["n_in_channels"]), params["img_shape_x"],
+             params["img_shape_y"]), jnp.float32,
+        )
+        variables = model.init(jax.random.key(0), x, train=False)
+        optimizer = build_optimizer(params)
+        abstract = jax.eval_shape(
+            lambda p: TrainState.create(p, optimizer), variables["params"]
+        )
+        ssh = state_shardings(abstract, mesh8, shard_params=True)
+        state = jax.jit(lambda p: TrainState.create(p, optimizer),
+                        out_shardings=ssh)(variables["params"])
+        del variables
+
+        n_params = sum(int(np.prod(l.shape))
+                       for l in jax.tree_util.tree_leaves(state.params))
+        assert n_params > 7e8  # the real e2048 block geometry
+
+        step = build_train_step(model, LossHandler(params), Preprocessor(params),
+                                optimizer, mesh8, state_shardings=ssh)
+        state, metrics = step(state, batch, jax.random.key(1))
+        assert np.isfinite(float(metrics["loss"]))
+        # every chip holds 1/8 of the big leaves
+        leaf = max(jax.tree_util.tree_leaves(state.params), key=lambda a: a.size)
+        assert np.prod(leaf.addressable_shards[0].data.shape) * 8 == leaf.size

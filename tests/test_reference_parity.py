@@ -362,6 +362,199 @@ class TestReferenceParity:
                 err_msg=ks,
             )
 
+    def test_training_trajectory_matches_torch(self, reference_module):
+        """20 Adam steps with the cosine LR schedule stepped once per "epoch"
+        (reference ``train.py:240-243``): the per-step loss trajectory and
+        the final parameters must track torch within fp32 accumulation
+        tolerance. Catches LR-application-point, optimizer-state and
+        gradient-flow drifts that the single-step test cannot see
+        (VERDICT r2 next #5)."""
+        import jax
+        import jax.numpy as jnp
+
+        from swin_v2_weather_tpu.models.swin import SwinTransformerV2
+        from swin_v2_weather_tpu.training.optim import (
+            CosineAnnealingLR,
+            set_learning_rate,
+        )
+        import optax
+
+        n_epochs, steps_per_epoch, base_lr, t_max = 5, 4, 1e-3, 5
+        ref = build_reference(reference_module)
+        ours = SwinTransformerV2(
+            img_size=CFG["img_size"], patch_size=CFG["patch_size"],
+            in_chans=CFG["in_chans"], out_chans=CFG["out_chans"],
+            embed_dim=CFG["embed_dim"], depth=CFG["depth"],
+            num_heads=CFG["num_heads"], img_window_ratio=CFG["window_ratio"],
+            full_pos_embed=True, rel_pos=False, residual=True,
+            dtype=jnp.float32, scan_blocks=False, attn_impl="xla",
+        )
+        rng = np.random.default_rng(31)
+        batches = [
+            (
+                rng.standard_normal((2, CFG["in_chans"], 24, 48)).astype(np.float32),
+                rng.standard_normal((2, CFG["out_chans"], 24, 48)).astype(np.float32),
+            )
+            for _ in range(n_epochs * steps_per_epoch)
+        ]
+
+        template = jax.eval_shape(
+            lambda: ours.init(jax.random.key(0), jnp.asarray(batches[0][0]))
+        )
+        params = torch_to_flax(ref, template["params"])
+
+        # --- torch trajectory ---
+        opt_t = torch.optim.Adam(ref.parameters(), lr=base_lr, betas=(0.9, 0.95))
+        sched_t = torch.optim.lr_scheduler.CosineAnnealingLR(opt_t, T_max=t_max)
+        losses_t, it = [], iter(batches)
+        for epoch in range(n_epochs):
+            for _ in range(steps_per_epoch):
+                x, tar = next(it)
+                opt_t.zero_grad()
+                loss = torch.mean((ref(torch.from_numpy(x)) - torch.from_numpy(tar)) ** 2)
+                loss.backward()
+                opt_t.step()
+                losses_t.append(float(loss))
+            sched_t.step()
+        final_ref = torch_to_flax(ref, template["params"])
+
+        # --- our trajectory: inject_hyperparams + our scheduler twin,
+        # stepped at the same per-epoch point ---
+        tx = optax.inject_hyperparams(
+            lambda learning_rate: optax.adam(learning_rate, b1=0.9, b2=0.95)
+        )(learning_rate=base_lr)
+        opt_state = tx.init(params)
+        sched = CosineAnnealingLR(base_lr, t_max=t_max)
+
+        @jax.jit
+        def step(params, opt_state, x, tar):
+            def loss_fn(p):
+                out = ours.apply({"params": p}, x)
+                return jnp.mean((out - tar) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        losses_j, it = [], iter(batches)
+        for epoch in range(n_epochs):
+            opt_state = set_learning_rate(opt_state, sched.lr)
+            for _ in range(steps_per_epoch):
+                x, tar = next(it)
+                params, opt_state, loss = step(
+                    params, opt_state, jnp.asarray(x), jnp.asarray(tar)
+                )
+                losses_j.append(float(loss))
+            sched.step()
+
+        np.testing.assert_allclose(losses_j, losses_t, rtol=5e-4, atol=1e-6)
+        flat_r = {jax.tree_util.keystr(k): v for k, v in
+                  jax.tree_util.tree_leaves_with_path(final_ref)}
+        for key, leaf in jax.tree_util.tree_leaves_with_path(params):
+            ks = jax.tree_util.keystr(key)
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(flat_r[ks]), atol=5e-4, err_msg=ks
+            )
+
+    def test_finetune_trajectory_matches_torch(self, reference_module):
+        """Short 2-step-rollout fine-tune trajectory (MultiStepWrapper,
+        lr 1e-4, reference ``config/swin.yaml:199-215`` semantics): gradient
+        flow through the in-graph autoregressive rollout + Adam tracks torch
+        over 8 steps."""
+        import importlib
+
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        sys.path.insert(0, REFERENCE)
+        try:
+            helpers = importlib.import_module("networks.helpers")
+        finally:
+            sys.path.remove(REFERENCE)
+
+        from swin_v2_weather_tpu.models.swin import SwinTransformerV2
+        from swin_v2_weather_tpu.models.wrappers import MultiStepWrapper
+
+        n_future, n_invar, n_steps, lr = 1, 2, 8, 1e-4
+        in_chans = CFG["out_chans"] + 1 + n_invar
+        ref_core = reference_module.SwinTransformerV2Cr(
+            img_size=CFG["img_size"], patch_size=CFG["patch_size"],
+            depths=(CFG["depth"],), num_heads=(CFG["num_heads"],),
+            in_chans=in_chans, out_chans=CFG["out_chans"],
+            embed_dim=CFG["embed_dim"], img_window_ratio=CFG["window_ratio"],
+            drop_path_rate=0.0, full_pos_embed=True, rel_pos=False,
+            mlp_ratio=CFG["mlp_ratio"], checkpoint_stages=False, residual=True,
+        ).eval()
+        g = torch.Generator().manual_seed(13)
+        with torch.no_grad():
+            for name, p in ref_core.named_parameters():
+                if "norm" in name or "logit_scale" in name:
+                    p.copy_(torch.randn(p.shape, generator=g) * 0.5)
+        fake_params = types.SimpleNamespace(
+            n_future=n_future, add_orography=0, add_landmask=1
+        )
+        ref_wrap = helpers.MultiStepWrapper(fake_params, lambda p: ref_core).eval()
+
+        ours_core = SwinTransformerV2(
+            img_size=CFG["img_size"], patch_size=CFG["patch_size"],
+            in_chans=in_chans, out_chans=CFG["out_chans"],
+            embed_dim=CFG["embed_dim"], depth=CFG["depth"],
+            num_heads=CFG["num_heads"], img_window_ratio=CFG["window_ratio"],
+            full_pos_embed=True, rel_pos=False, residual=True,
+            dtype=jnp.float32, scan_blocks=False, attn_impl="xla",
+        )
+        ours_wrap = MultiStepWrapper(model=ours_core, n_future=n_future, n_invar=n_invar)
+
+        rng = np.random.default_rng(37)
+        batches = [
+            (
+                rng.standard_normal((1, in_chans, 24, 48)).astype(np.float32),
+                rng.standard_normal((1, n_future + 1, 24, 48)).astype(np.float32),
+                rng.standard_normal(
+                    (1, (n_future + 1) * CFG["out_chans"], 24, 48)
+                ).astype(np.float32),
+            )
+            for _ in range(n_steps)
+        ]
+
+        template = jax.eval_shape(
+            lambda: ours_core.init(jax.random.key(0), jnp.asarray(batches[0][0]))
+        )
+        params = {"model": torch_to_flax(ref_core, template["params"])}
+
+        opt_t = torch.optim.Adam(ref_core.parameters(), lr=lr, betas=(0.9, 0.95))
+        losses_t = []
+        for x, coszen, tar in batches:
+            opt_t.zero_grad()
+            out = ref_wrap(torch.from_numpy(x), torch.from_numpy(coszen))
+            loss = torch.mean((out - torch.from_numpy(tar)) ** 2)
+            loss.backward()
+            opt_t.step()
+            losses_t.append(float(loss))
+
+        tx = optax.adam(lr, b1=0.9, b2=0.95)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, x, coszen, tar):
+            def loss_fn(p):
+                out = ours_wrap.apply({"params": p}, x, coszen=coszen)
+                return jnp.mean((out - tar) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        losses_j = []
+        for x, coszen, tar in batches:
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(x), jnp.asarray(coszen), jnp.asarray(tar)
+            )
+            losses_j.append(float(loss))
+
+        np.testing.assert_allclose(losses_j, losses_t, rtol=5e-4, atol=1e-6)
+
     def test_shift_mask_matches_reference_blocks(self, reference_module):
         """Our host-side mask equals the reference block's buffered mask."""
         ref = build_reference(reference_module)

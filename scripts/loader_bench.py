@@ -1,0 +1,189 @@
+"""Input-pipeline throughput proof at flagship shape (VERDICT r2 next #2).
+
+Measures, at the full 73-channel 721x1440 geometry:
+  (a) loader-only:    Era5Dataset (native C++ pread reader + fused
+                      normalize) through ThreadedLoader — samples/s and
+                      GB/s of field reads;
+  (b) +device:        the same batches through device_prefetch onto the
+                      attached chip (H2D path);
+  (c) --e2e:          the full flagship train step consuming real loader
+                      batches — end-to-end ms/step vs the compute-only
+                      number from scripts/step_time.py.
+
+This is the role DALI plays in the reference
+(``utils/data_loader_era5_dali.py:34-98``): prove the input side can feed
+the chip at the benched compute rate (~2.3 samples/s/chip = ~1.4 GB/s of
+normalized fp32 fields). The archive is synthetic random data at real
+shape; reads come from the page cache after generation, so (a) bounds the
+decode+normalize+assembly machinery, not the disk.
+
+Usage: python scripts/loader_bench.py [--frames 24] [--device] [--e2e]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = "/tmp/loader_bench"
+C, H, W = 73, 721, 1440
+FRAME_BYTES = C * H * W * 4
+
+
+def ensure_archive(frames: int) -> str:
+    import h5py
+
+    data_dir = f"{ROOT}/data/train"
+    marker = f"{ROOT}/.complete_{frames}"
+    if os.path.exists(marker):
+        return data_dir
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(f"{ROOT}/stats", exist_ok=True)
+    rng = np.random.default_rng(0)
+    path = f"{data_dir}/2015.h5"
+    with h5py.File(path, "w") as f:
+        d = f.create_dataset("fields", shape=(frames, C, H, W), dtype=np.float32)
+        for t in range(frames):  # frame-at-a-time: bounded host memory
+            d[t] = rng.standard_normal((C, H, W)).astype(np.float32)
+    np.save(f"{ROOT}/stats/global_means.npy", np.zeros((1, C, 1, 1), np.float32))
+    np.save(f"{ROOT}/stats/global_stds.npy", np.ones((1, C, 1, 1), np.float32))
+    open(marker, "w").close()
+    return data_dir
+
+
+def flagship_loader_params(data_dir: str):
+    from __graft_entry__ import _flagship_params
+
+    params = _flagship_params()
+    params["train_data_path"] = data_dir
+    params["global_means_path"] = f"{ROOT}/stats/global_means.npy"
+    params["global_stds_path"] = f"{ROOT}/stats/global_stds.npy"
+    params["data_loader_config"] = "threaded"
+    params["local_batch_size"] = 1
+    params["batch_size"] = 1
+    params["n_future"] = 0
+    return params
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--batches", type=int, default=20)
+    ap.add_argument("--device", action="store_true", help="also time H2D prefetch")
+    ap.add_argument("--e2e", action="store_true", help="full train step on real batches")
+    ap.add_argument("--workers", type=int, default=0, help="0 = config default")
+    args = ap.parse_args()
+
+    data_dir = ensure_archive(args.frames)
+    params = flagship_loader_params(data_dir)
+    if args.workers:
+        params["num_data_workers"] = args.workers
+
+    from swin_v2_weather_tpu.data.pipeline import device_prefetch, get_data_loader
+
+    loader, dataset = get_data_loader(params, data_dir, train=True)
+    result = {"frames": args.frames, "native": dataset._native is not None}
+
+    # (a) loader-only: steady-state over n batches (sample pair = inp+tar)
+    it = iter(loader)
+    next(it)  # warm: thread pool spun up, lookahead filled
+    n = 0
+    t0 = time.perf_counter()
+    for batch in it:
+        n += batch["inp"].shape[0]
+        if n >= args.batches:
+            break
+    dt = time.perf_counter() - t0
+    sps = n / dt
+    result["loader_samples_per_s"] = round(sps, 3)
+    # each sample reads inp + tar frames (73 ch each) and normalizes them
+    result["loader_GBps"] = round(sps * 2 * FRAME_BYTES / 1e9, 3)
+
+    if args.device or args.e2e:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_xla_cache"),
+        )
+        from swin_v2_weather_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(None, devices=jax.devices()[:1])
+
+    if args.device:
+        import jax
+        import jax.numpy as jnp
+
+        loader.set_epoch(1)
+        stream = device_prefetch(iter(loader), mesh)
+        first = next(stream)  # warm
+        _ = float(jnp.sum(first["inp"]))
+        n = 0
+        t0 = time.perf_counter()
+        last = None
+        for batch in stream:
+            last = batch
+            n += batch["inp"].shape[0]
+            if n >= args.batches:
+                break
+        _ = float(jnp.sum(last["inp"]))  # force the H2D queue to drain
+        dt = time.perf_counter() - t0
+        result["device_samples_per_s"] = round(n / dt, 3)
+        result["device_GBps"] = round(n / dt * 2 * FRAME_BYTES / 1e9, 3)
+
+    if args.e2e:
+        import jax
+        import jax.numpy as jnp
+
+        from swin_v2_weather_tpu.data.preprocess import Preprocessor
+        from swin_v2_weather_tpu.models.wrappers import get_model
+        from swin_v2_weather_tpu.ops.losses import LossHandler
+        from swin_v2_weather_tpu.training.optim import build_optimizer
+        from swin_v2_weather_tpu.training.step import TrainState, build_train_step
+
+        params["attn_impl"] = "pallas_qkv"
+        params["activation_ckpt"] = True
+        params["remat_policy"] = "mlp3"
+        params["scan_blocks"] = False
+        model = get_model(params)
+        optimizer = build_optimizer(params)
+        x = jnp.zeros(
+            (1, int(params["n_in_channels"]), 720, 1440), jnp.float32
+        )
+        variables = model.init(jax.random.key(0), x, train=False)
+        state = TrainState.create(variables["params"], optimizer)
+        del variables
+        step = build_train_step(
+            model, LossHandler(params), Preprocessor(params), optimizer, mesh
+        )
+
+        loader.set_epoch(2)
+        stream = device_prefetch(iter(loader), mesh)
+        key = jax.random.key(1)
+        # warm compile on the first real batch
+        state, metrics = step(state, next(stream), key)
+        _ = float(metrics["loss"])
+        n = 0
+        t0 = time.perf_counter()
+        for batch in stream:
+            state, metrics = step(state, batch, key)
+            n += 1
+            if n >= args.batches:
+                break
+        _ = float(metrics["loss"])
+        dt = (time.perf_counter() - t0) / n
+        result["e2e_ms_per_step"] = round(dt * 1e3, 1)
+        result["e2e_samples_per_s"] = round(1.0 / dt, 3)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--no-scan", action="store_true", help="unroll block pairs")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--profile", default=None, help="capture a jax.profiler trace here")
+    ap.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        help="override a config value (yaml-parsed; repeatable), e.g. "
+        "--set rel_pos=true --set full_pos_embed=false",
+    )
     args = ap.parse_args()
 
     import jax
@@ -71,6 +76,13 @@ def main():
     else:
         params["activation_ckpt"] = True
         params["remat_policy"] = args.remat
+    overrides = []
+    for item in args.set:
+        key, _, value = item.partition("=")
+        import yaml as _yaml
+
+        params[key] = _yaml.safe_load(value)
+        overrides.append(item)
 
     mesh = make_mesh(None, devices=jax.devices()[:1])
     model = get_model(params)
@@ -124,7 +136,8 @@ def main():
     print(
         f"{args.config or 'flagship'} attn={args.attn} remat={args.remat} bs={bs}"
         f"{' noscan' if args.no_scan else ''}"
-        f"{f' nfuture={args.nfuture}' if args.nfuture else ''}: "
+        f"{f' nfuture={args.nfuture}' if args.nfuture else ''}"
+        f"{' ' + ' '.join(overrides) if overrides else ''}: "
         f"{dt * 1e3:.1f} ms/step, {bs / dt:.3f} samples/s/chip "
         f"(warmup {warm:.0f}s)"
     )

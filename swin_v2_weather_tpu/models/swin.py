@@ -317,24 +317,45 @@ class WindowAttention(nn.Module):
             bias = cpb.transpose(1, 0).reshape(self.num_heads, l, l)
 
         if grid_input and self.attn_impl == "pallas_qkv" and bias is None:
-            # v3: the qkv projection itself runs inside the kernel (the
+            # v3/v6: the qkv projection itself runs inside the kernel (the
             # attention block is HBM-IO bound; this reads x once instead of
             # three pre-projected tensors). Params live at the same
             # attn/qkv/{kernel,bias} path as the Dense, so checkpoints are
             # interchangeable across attn_impl values.
-            from swin_v2_weather_tpu.ops.window_attention import (
-                fused_window_attention_qkv,
-            )
+            from swin_v2_weather_tpu.ops import window_attention as wa
 
             w_b = QkvParams(features=3 * c, in_features=c, name="qkv")()
             pattern = mask[-1] if mask is not None else None
-            out = fused_window_attention_qkv(
+            from jax.ad_checkpoint import checkpoint_name
+
+            if wa.QKV_IMPL == "v6":
+                # lane-aligned padded-head kernel: [B,H,W,heads*128] with
+                # pad lanes exactly zero; the proj weight's rows are
+                # zero-padded to absorb them (identical math, no unpad
+                # relayout over the activation — see the v6 banner)
+                out = wa.fused_window_attention_qkv_padded(
+                    x, w_b[0].astype(self.dtype or x.dtype), w_b[1], scale,
+                    self.window_size, mask_pattern=pattern,
+                    boundary_flag=boundary_flag,
+                )
+                out = checkpoint_name(out, "attn_kernel_out")
+                pk, pb = QkvParams(features=c, in_features=c, name="proj")()
+                cdt = self.dtype or x.dtype
+                out = (
+                    jnp.dot(
+                        out.astype(cdt),
+                        wa.pad_proj_rows(pk, self.num_heads).astype(cdt),
+                    )
+                    + pb.astype(cdt)
+                )
+                out = nn.Dropout(self.drop_proj)(out, deterministic=deterministic)
+                return out
+
+            out = wa.fused_window_attention_qkv(
                 x, w_b[0].astype(self.dtype or x.dtype), w_b[1], scale,
                 self.window_size, mask_pattern=pattern,
                 boundary_flag=boundary_flag,
             )
-            from jax.ad_checkpoint import checkpoint_name
-
             # saving this under remat_policy='mlp' means backward never
             # re-runs the attention kernel (the proj vjp needs its input)
             out = checkpoint_name(out, "attn_kernel_out")

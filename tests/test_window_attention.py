@@ -246,8 +246,9 @@ class TestQkvKernel:
             q, k, v, scale, None, patt, (self.WH, self.WW)
         )
 
+    @pytest.mark.parametrize("impl", ["v3", "v4", "v5"])
     @pytest.mark.parametrize("use_mask", [False, True])
-    def test_forward_matches_reference(self, xwbs, use_mask):
+    def test_forward_matches_reference(self, xwbs, use_mask, impl):
         from swin_v2_weather_tpu.ops.window_attention import fused_window_attention_qkv
 
         x, w, b, scale = xwbs
@@ -256,18 +257,22 @@ class TestQkvKernel:
             if use_mask
             else None
         )
-        out = fused_window_attention_qkv(x, w, b, scale, (self.WH, self.WW), patt)
+        out = fused_window_attention_qkv(
+            x, w, b, scale, (self.WH, self.WW), patt, impl=impl
+        )
         ref = self._reference(x, w, b, scale, patt)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2)
 
-    @pytest.mark.parametrize("bwd_impl", ["pallas", "xla"])
+    @pytest.mark.parametrize("bwd_impl", ["pallas", "xla", "v4", "v5"])
     @pytest.mark.parametrize("use_mask", [False, True])
     def test_backward_matches_reference(self, xwbs, use_mask, bwd_impl, monkeypatch):
         """dx, dW, db, dscale from the fused backward kernel vs the fp32
-        XLA composition's jax.grad."""
+        XLA composition's jax.grad ('v4'/'v5' = the alternate kernel pairs)."""
         from swin_v2_weather_tpu.ops import window_attention as wa
 
-        monkeypatch.setattr(wa, "QKV_BWD_IMPL", bwd_impl)
+        impl = bwd_impl if bwd_impl in ("v4", "v5") else "v3"
+        if impl == "v3":
+            monkeypatch.setattr(wa, "QKV_BWD_IMPL", bwd_impl)
         x, w, b, scale = xwbs
         patt = (
             make_shift_mask((self.H, self.W), (self.WH, self.WW), (1, 2))[-1]
@@ -276,7 +281,9 @@ class TestQkvKernel:
         )
 
         def f(x, w, b, s):
-            out = wa.fused_window_attention_qkv(x, w, b, s, (self.WH, self.WW), patt)
+            out = wa.fused_window_attention_qkv(
+                x, w, b, s, (self.WH, self.WW), patt, impl=impl
+            )
             return jnp.sum(out * out)
 
         def fr(x, w, b, s):
@@ -294,6 +301,72 @@ class TestQkvKernel:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b_), err_msg=name,
                 **tols.get(name, dict(atol=8e-2, rtol=5e-3)),
+            )
+
+    @pytest.mark.parametrize("use_mask", [False, True])
+    def test_v6_padded_forward_matches_reference(self, xwbs, use_mask):
+        """v6 output: per-head 128-lane slots, pad lanes EXACTLY zero, real
+        lanes matching the reference."""
+        from swin_v2_weather_tpu.ops import window_attention as wa
+
+        x, w, b, scale = xwbs
+        patt = (
+            make_shift_mask((self.H, self.W), (self.WH, self.WW), (1, 2))[-1]
+            if use_mask
+            else None
+        )
+        out = wa.fused_window_attention_qkv_padded(
+            x, w, b, scale, (self.WH, self.WW), patt
+        )
+        hd = self.C // HEADS
+        o = np.asarray(out).reshape(B, self.H, self.W, HEADS, wa._HD_PAD)
+        assert np.all(o[..., hd:] == 0.0), "pad lanes must be exactly zero"
+        got = o[..., :hd].reshape(B, self.H, self.W, self.C)
+        ref = self._reference(x, w, b, scale, patt)
+        np.testing.assert_allclose(got, np.asarray(ref), atol=5e-2)
+
+    @pytest.mark.parametrize("use_mask", [False, True])
+    def test_v6_padded_backward_matches_v3(self, xwbs, use_mask, rng):
+        """Gradients through the v6 kernel + a pad-absorbing proj equal the
+        v3 composition's through the same proj, at TIGHT tolerance (both
+        kernels stage qkv in bf16 and the zero pad lanes are inert — the
+        math is identical term by term). v3 itself is pinned against the
+        fp32 reference by test_backward_matches_reference."""
+        from swin_v2_weather_tpu.ops import window_attention as wa
+
+        x, w, b, scale = xwbs
+        patt = (
+            make_shift_mask((self.H, self.W), (self.WH, self.WW), (1, 2))[-1]
+            if use_mask
+            else None
+        )
+        w_o = jnp.asarray(
+            rng.standard_normal((self.C, self.C)) * 0.2, jnp.float32
+        )
+
+        def f6(x, w, b, s):
+            out = wa.fused_window_attention_qkv_padded(
+                x, w, b, s, (self.WH, self.WW), patt
+            )
+            y = jnp.dot(out, wa.pad_proj_rows(w_o, HEADS))
+            return jnp.sum(y * y)
+
+        def f3(x, w, b, s):
+            out = wa.fused_window_attention_qkv(
+                x, w, b, s, (self.WH, self.WW), patt, impl="v3"
+            )
+            return jnp.sum(jnp.square(jnp.dot(out, w_o)))
+
+        g = jax.grad(f6, argnums=(0, 1, 2, 3))(x, w, b, scale)
+        gr = jax.grad(f3, argnums=(0, 1, 2, 3))(x, w, b, scale)
+        tols = {
+            "dW": dict(atol=2e-1, rtol=2e-2),
+            "db": dict(atol=2e-1, rtol=2e-2),
+        }
+        for name, a, b_ in zip(("dx", "dW", "db", "dscale"), g, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), err_msg=name,
+                **tols.get(name, dict(atol=5e-2, rtol=2e-3)),
             )
 
     def test_bwd_impls_agree(self, xwbs):
@@ -343,3 +416,25 @@ class TestModelParity:
         y_xla = m_xla.apply(params, x)
         y_pal = m_pal.apply(params, x)
         np.testing.assert_allclose(np.asarray(y_xla), np.asarray(y_pal), atol=5e-2)
+
+    def test_qkv_v6_equals_v3_model(self, monkeypatch):
+        """attn_impl='pallas_qkv' with the v6 (lane-aligned padded) kernel
+        selected produces the same model output from the SAME params as the
+        v3 kernel — checkpoints are interchangeable across QKV_IMPL."""
+        from swin_v2_weather_tpu.ops import window_attention as wa
+
+        kw = dict(
+            img_size=(24, 48), patch_size=2, in_chans=5, out_chans=4, embed_dim=32,
+            depth=2, num_heads=2, img_window_ratio=8, rel_pos=False, residual=True,
+            full_pos_embed=True, dtype=jnp.float32, scan_blocks=True,
+            attn_impl="pallas_qkv",
+        )
+        x = jnp.asarray(
+            np.random.default_rng(7).standard_normal((2, 5, 24, 48)), jnp.float32
+        )
+        m = SwinTransformerV2(**kw)
+        params = m.init(jax.random.key(0), x)
+        y_v3 = m.apply(params, x)
+        monkeypatch.setattr(wa, "QKV_IMPL", "v6")
+        y_v6 = m.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y_v3), np.asarray(y_v6), atol=5e-2)

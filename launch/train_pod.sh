@@ -20,6 +20,13 @@ REPO_DIR="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
 
 # HDF5 archives are read-only and shared across hosts: no file locking
 export HDF5_USE_FILE_LOCKING=FALSE
+# keep glibc from unmapping/remapping the input pipeline's large buffers:
+# first-touch page faults on fresh anonymous mappings cost ~100 us/fault on
+# some kernels (measured; see ROADMAP 'input pipeline'), so big buffers must
+# be allocated once and reused. The loader pools its batch buffers; these
+# tunables extend the same guarantee to every other large allocation.
+export MALLOC_MMAP_THRESHOLD_="${MALLOC_MMAP_THRESHOLD_:-1073741824}"
+export MALLOC_TRIM_THRESHOLD_="${MALLOC_TRIM_THRESHOLD_:-1073741824}"
 # bind host memory allocations for the input pipeline to local NUMA nodes
 export TPU_HOST_BOUNDS="${TPU_HOST_BOUNDS:-}"
 # persistent XLA compile cache shared across restarts of the same pod job

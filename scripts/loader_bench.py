@@ -65,6 +65,10 @@ def flagship_loader_params(data_dir: str):
     params["train_data_path"] = data_dir
     params["global_means_path"] = f"{ROOT}/stats/global_means.npy"
     params["global_stds_path"] = f"{ROOT}/stats/global_stds.npy"
+    tds = f"{ROOT}/stats/time_diff_stds.npy"
+    if not os.path.exists(tds):
+        np.save(tds, np.ones((1, C, 1, 1), np.float32))
+    params["time_diff_stds_path"] = tds
     params["data_loader_config"] = "threaded"
     params["local_batch_size"] = 1
     params["batch_size"] = 1

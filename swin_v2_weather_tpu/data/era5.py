@@ -198,10 +198,33 @@ class Era5Dataset:
             tar = (tar - self.out_means[:, :1, :1]) / self.out_stds[:, :1, :1]
         return tar
 
-    def __getitem__(self, global_idx: int):
+    @property
+    def sample_shapes(self):
+        """Per-sample output shapes, keyed like the loader batches. Lets the
+        loader preallocate a fixed ring of batch buffers (``read_into``) —
+        per-sample fresh 300 MB allocations pay a first-touch page-fault tax
+        (~100 us/fault on some kernels = tens of seconds per sample; see
+        ROADMAP 'input pipeline')."""
+        sx, sy = self.img_shape
+        shapes = {
+            "inp": (self.n_in, sx, sy),
+            "tar": (self.n_out * (self.n_future + 1), sx, sy),
+        }
+        if self.add_zenith:
+            shapes["zen_inp"] = (1, sx, sy)
+            shapes["zen_tar"] = (self.n_future + 1, sx, sy)
+        return shapes
+
+    def read_into(self, global_idx: int, out) -> None:
+        """Fill ``out`` (dict of preallocated fp32 arrays shaped per
+        ``sample_shapes``) with sample ``global_idx`` — the zero-allocation
+        hot path used by the pooled loader. The native reader writes
+        directly into the destination rows; the h5py fallback assigns."""
         year_idx, local_idx = self.locate(int(global_idx))
         step = self.dt
         sx, sy = self.img_shape
+        inp, tar = out["inp"], out["tar"]
+        tar4 = tar.reshape(self.n_future + 1, self.n_out, sx, sy)
 
         if self._native is not None:
             in_stats = (self.means[:, 0, 0], self.stds[:, 0, 0]) if self.normalize else (None, None)
@@ -210,28 +233,34 @@ class Era5Dataset:
                 if self.normalize
                 else (None, None)
             )
-            inp = self._native.read(
-                year_idx, local_idx, self.in_channels, (sx, sy), *in_stats
+            self._native.read(
+                year_idx, local_idx, self.in_channels, (sx, sy), *in_stats, out=inp
             )
-            tar = self._native.read_frames(
+            self._native.read_frames(
                 year_idx, local_idx + step, step, self.n_future + 1,
-                self.out_channels, (sx, sy), *out_stats,
+                self.out_channels, (sx, sy), *out_stats, out=tar4,
             )
         else:
             ds = self._handle(year_idx)
-            inp = ds[local_idx, self._select(self.in_channels), 0:sx, 0:sy].astype(np.float32)
-            tar = ds[
+            inp[...] = ds[local_idx, self._select(self.in_channels), 0:sx, 0:sy]
+            tar4[...] = ds[
                 (local_idx + step) : (local_idx + step * (self.n_future + 1) + 1) : step,
                 self._select(self.out_channels), 0:sx, 0:sy,
-            ].astype(np.float32)
+            ]
             if self.normalize:
-                inp = (inp - self.means[:, :1, :1]) / self.stds[:, :1, :1]
-                tar = (tar - self.out_means[None, :, :1, :1]) / self.out_stds[None, :, :1, :1]
-
-        # flatten time into channels (reference utils/data_loader_era5.py:171)
-        tar = tar.reshape(self.n_out * (self.n_future + 1), sx, sy)
+                inp -= self.means[:, :1, :1]
+                inp /= self.stds[:, :1, :1]
+                tar4 -= self.out_means[None, :, :1, :1]
+                tar4 /= self.out_stds[None, :, :1, :1]
 
         if self.add_zenith:
             zen_inp, zen_tar = self._zenith(local_idx, year_idx)
-            return inp, tar, zen_inp[:, :sx, :sy], zen_tar[:, :sx, :sy]
-        return inp, tar
+            out["zen_inp"][...] = zen_inp[:, :sx, :sy]
+            out["zen_tar"][...] = zen_tar[:, :sx, :sy]
+
+    def __getitem__(self, global_idx: int):
+        out = {k: np.empty(s, np.float32) for k, s in self.sample_shapes.items()}
+        self.read_into(global_idx, out)
+        if self.add_zenith:
+            return out["inp"], out["tar"], out["zen_inp"], out["zen_tar"]
+        return out["inp"], out["tar"]

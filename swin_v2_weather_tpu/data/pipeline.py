@@ -78,6 +78,16 @@ class ThreadedLoader:
         self._pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=self.num_workers, thread_name_prefix="era5-loader"
         )
+        # fixed ring of batch buffers (allocated + pre-faulted once at first
+        # iteration): per-sample fresh 300 MB allocations pay the kernel's
+        # first-touch page-fault cost in the hot loop — measured ~100 us per
+        # fault (= up to tens of seconds per flagship sample) on the dev
+        # box's kernel, and concurrent faults from reader threads amplify
+        # it. DALI solves this with preallocated pinned pools; this is the
+        # same design. Ring depth leaves `2` consumed batches untouched
+        # beyond the lookahead so async H2D copies read stable memory.
+        self._ring = None
+        self._ring_size = self.prefetch_batches + 3
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = int(epoch)
@@ -102,6 +112,9 @@ class ThreadedLoader:
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if hasattr(self.dataset, "read_into") and hasattr(self.dataset, "sample_shapes"):
+            yield from self._iter_pooled()
+            return
         indices = self._shard_indices()
         n_consumable = self.n_steps * self.batch_size
         lookahead = min((self.prefetch_batches + 1) * self.batch_size, n_consumable)
@@ -119,6 +132,51 @@ class ThreadedLoader:
                     )
                     submitted += 1
             yield self._collate(samples)
+
+    def _iter_pooled(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Zero-allocation iteration: workers ``read_into`` rows of a fixed
+        ring of batch buffers; no collate copy. A yielded batch's arrays
+        stay untouched for the next ``ring - prefetch - 1`` (>= 2) yields —
+        async ``device_put`` H2D copies complete well within that window;
+        consumers that must HOLD host batches longer must copy."""
+        shapes = self.dataset.sample_shapes
+        if self._ring is not None and (
+            set(self._ring[0]) != set(shapes)
+            or any(self._ring[0][k].shape != (self.batch_size, *s) for k, s in shapes.items())
+        ):
+            self._ring = None
+        if self._ring is None:
+            self._ring = []
+            for _ in range(self._ring_size):
+                buf = {
+                    k: np.empty((self.batch_size, *s), np.float32)
+                    for k, s in shapes.items()
+                }
+                for a in buf.values():
+                    a.fill(0)  # pre-fault single-threaded, once
+                self._ring.append(buf)
+
+        indices = self._shard_indices()
+        n_consumable = self.n_steps * self.batch_size
+
+        def fetch(sample_i: int):
+            slot = self._ring[(sample_i // self.batch_size) % self._ring_size]
+            row = sample_i % self.batch_size
+            views = {k: slot[k][row] for k in slot}
+            self.dataset.read_into(int(indices[sample_i]), views)
+
+        lookahead = min((self.prefetch_batches + 1) * self.batch_size, n_consumable)
+        futures: collections.deque = collections.deque(
+            self._pool.submit(fetch, i) for i in range(lookahead)
+        )
+        submitted = lookahead
+        for b in range(self.n_steps):
+            for _ in range(self.batch_size):
+                futures.popleft().result()
+                if submitted < n_consumable:
+                    futures.append(self._pool.submit(fetch, submitted))
+                    submitted += 1
+            yield self._ring[b % self._ring_size]
 
     def close(self) -> None:
         self._pool.shutdown(wait=False, cancel_futures=True)

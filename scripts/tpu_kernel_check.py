@@ -107,6 +107,52 @@ def main():
     print("v2+bias grads (rel to max):", {k: round(v, 4) for k, v in v2_errs.items()})
     ok = ok and all(v < 0.05 for v in v2_errs.values())
 
+    # ---- v3 (qkv-fused) WITH CPB bias vs reference ----
+    def ref_v3b(x, w, b, s, bi):
+        qkv = (
+            jnp.einsum("bhwc,cd->bhwd", x.astype(jnp.float32), w.astype(jnp.float32))
+            + b
+        ).astype(x.dtype)
+        q, k, v = qkv[..., :C], qkv[..., C : 2 * C], qkv[..., 2 * C :]
+        return reference_attention_grid(q, k, v, s, bi, patt, (wh, ww))
+
+    def loss_v3b(x, w, b, s, bi):
+        return jnp.sum(
+            fused_window_attention_qkv(
+                x, w, b, s, (wh, ww), mask_pattern=patt, bias=bi
+            ).astype(jnp.float32) ** 2
+        )
+
+    def loss_v3b_ref(x, w, b, s, bi):
+        return jnp.sum(ref_v3b(x, w, b, s, bi).astype(jnp.float32) ** 2)
+
+    out3b = jax.jit(
+        lambda *a: fused_window_attention_qkv(
+            a[0], a[1], a[2], a[3], (wh, ww), mask_pattern=patt, bias=a[4]
+        )
+    )(x, w_qkv, b_qkv, scale, bias)
+    ref3b = jax.jit(ref_v3b)(x, w_qkv, b_qkv, scale, bias)
+    fwd3b_err = float(
+        jnp.max(jnp.abs(out3b.astype(jnp.float32) - ref3b.astype(jnp.float32)))
+    )
+    ref3b_scale = float(jnp.max(jnp.abs(ref3b.astype(jnp.float32))))
+    g3b_f = jax.jit(jax.grad(loss_v3b, argnums=(0, 1, 2, 3, 4)))(
+        x, w_qkv, b_qkv, scale, bias
+    )
+    g3b_r = jax.jit(jax.grad(loss_v3b_ref, argnums=(0, 1, 2, 3, 4)))(
+        x, w_qkv, b_qkv, scale, bias
+    )
+    v3b_errs = {}
+    for name, a, b in zip(("dx", "dw", "db", "dscale", "dbias"), g3b_f, g3b_r):
+        af, bf = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        denom = max(1e-3, float(np.abs(bf).max()))
+        v3b_errs[name] = float(np.abs(af - bf).max()) / denom
+    print(f"v3+bias fwd: max_abs_err={fwd3b_err:.4f} (ref max {ref3b_scale:.2f})")
+    print("v3+bias grads (rel to max):", {k: round(v, 4) for k, v in v3b_errs.items()})
+    ok = ok and fwd3b_err < 0.05 * ref3b_scale and all(
+        v < 0.05 for v in v3b_errs.values()
+    )
+
     print("ON-TPU KERNEL PARITY:", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

@@ -43,6 +43,7 @@ unpatchify head (``:767,784-792``) and optional global input residual
 from __future__ import annotations
 
 import math
+import os as _os
 from functools import lru_cache, partial
 from typing import Any, Callable, Optional, Tuple
 
@@ -171,6 +172,19 @@ def calc_window_shift(
 # ---------------------------------------------------------------------------
 
 
+# LayerNorm statistics form. 'twopass' (default) is the textbook centered
+# form; 'onepass' computes var = E[x^2] - E[x]^2 so both reduces share one
+# read pass over the (bf16) input and no fp32 centered intermediate is
+# materialized between reduce fusions — an A/B lever for the ~69 ms/step of
+# convert_reduce LN fusions (ROADMAP lever 1). fp32 accumulation keeps the
+# cancellation error ~2^-24 * mean^2, negligible for O(1-10) activations.
+LN_IMPL = _os.environ.get("SWIN_LN_IMPL", "twopass")
+if LN_IMPL not in ("twopass", "onepass"):
+    raise ValueError(
+        f"SWIN_LN_IMPL={LN_IMPL!r} invalid; expected 'twopass' or 'onepass'"
+    )
+
+
 class Fp32LayerNorm(nn.Module):
     """LayerNorm with fp32 statistics regardless of compute dtype.
 
@@ -190,8 +204,13 @@ class Fp32LayerNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,))
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
-        xc = xf - mean
-        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        if LN_IMPL == "onepass":
+            meansq = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            var = jnp.maximum(meansq - mean * mean, 0.0)
+            xc = xf - mean
+        else:
+            xc = xf - mean
+            var = jnp.mean(xc * xc, axis=-1, keepdims=True)
         y = xc * jax.lax.rsqrt(var + self.epsilon) * scale + bias
         return y.astype(x.dtype)
 
@@ -316,19 +335,21 @@ class WindowAttention(nn.Module):
             )  # [L*L, heads]
             bias = cpb.transpose(1, 0).reshape(self.num_heads, l, l)
 
-        if grid_input and self.attn_impl == "pallas_qkv" and bias is None:
+        if grid_input and self.attn_impl == "pallas_qkv":
             # v3/v6: the qkv projection itself runs inside the kernel (the
             # attention block is HBM-IO bound; this reads x once instead of
             # three pre-projected tensors). Params live at the same
             # attn/qkv/{kernel,bias} path as the Dense, so checkpoints are
-            # interchangeable across attn_impl values.
+            # interchangeable across attn_impl values. The CPB bias
+            # (rel_pos) rides the v3 schedule with an exact in-kernel bias
+            # add + VMEM-accumulated d(bias).
             from swin_v2_weather_tpu.ops import window_attention as wa
 
             w_b = QkvParams(features=3 * c, in_features=c, name="qkv")()
             pattern = mask[-1] if mask is not None else None
             from jax.ad_checkpoint import checkpoint_name
 
-            if wa.QKV_IMPL == "v6":
+            if wa.QKV_IMPL == "v6" and bias is None:
                 # lane-aligned padded-head kernel: [B,H,W,heads*128] with
                 # pad lanes exactly zero; the proj weight's rows are
                 # zero-padded to absorb them (identical math, no unpad
@@ -354,7 +375,7 @@ class WindowAttention(nn.Module):
             out = wa.fused_window_attention_qkv(
                 x, w_b[0].astype(self.dtype or x.dtype), w_b[1], scale,
                 self.window_size, mask_pattern=pattern,
-                boundary_flag=boundary_flag,
+                boundary_flag=boundary_flag, bias=bias,
             )
             # saving this under remat_policy='mlp' means backward never
             # re-runs the attention kernel (the proj vjp needs its input)

@@ -1140,7 +1140,7 @@ def _attn_chunks(heads: int) -> int:
 
 
 def _make_qkv_kernel(wh: int, ww: int, nc: int, heads: int, n_window_rows: int,
-                     has_mask: bool):
+                     has_mask: bool, has_bias: bool = False):
     l = wh * ww
 
     def kernel(*refs):
@@ -1152,6 +1152,9 @@ def _make_qkv_kernel(wh: int, ww: int, nc: int, heads: int, n_window_rows: int,
         b_ref = refs[i]; i += 1
         mask_ref = refs[i] if has_mask else None; i += has_mask
         bflag_ref = refs[i] if has_mask else None; i += has_mask
+        # CPB relative-position bias [heads, L, L] fp32, row-max-shifted on
+        # the host so z stays <= 0 and the max-free softmax stays rigorous
+        bias_ref = refs[i] if has_bias else None; i += has_bias
         out_ref = refs[i]; i += 1
         qkv_ref = refs[i]
 
@@ -1261,6 +1264,15 @@ def _make_qkv_kernel(wh: int, ww: int, nc: int, heads: int, n_window_rows: int,
                 r = jnp.float32(1.0)
             else:
                 z = (s_c[ci] - 1.0) * scl
+                if has_bias:
+                    # per-head bias broadcast over the nc windows of the
+                    # chunk: split the head-major batch dim (a free view)
+                    # rather than materializing a repeated copy
+                    hpc_b = heads // n_ch
+                    z = (
+                        z.reshape(hpc_b, nc, l, l)
+                        + bias_ref[ci * hpc_b : (ci + 1) * hpc_b, :, :][:, None]
+                    ).reshape(sz, l, l)
                 if mask_add is not None:
                     z = z + mask_add
                 e = jnp.exp(z)
@@ -1287,7 +1299,7 @@ def _make_qkv_kernel(wh: int, ww: int, nc: int, heads: int, n_window_rows: int,
 
 
 def _qkv_forward(x, w_qkv, b_qkv, scale, mask_pattern, window, interpret,
-                 w_chunk_windows: int = None, bflag=None):
+                 w_chunk_windows: int = None, bflag=None, bias=None):
     if w_chunk_windows is None:
         w_chunk_windows = QKV_FWD_WC
     b, h, w, c_in = x.shape
@@ -1334,8 +1346,16 @@ def _qkv_forward(x, w_qkv, b_qkv, scale, mask_pattern, window, interpret,
             pl.BlockSpec((1, 1), lambda bi, r, wcix: (0, 0), memory_space=pltpu.SMEM)
         )
         args.append(_bflag_arr(bflag))
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (heads, l, l), lambda bi, r, wcix: (0, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        args.append(bias.astype(jnp.float32))
 
-    kernel = _make_qkv_kernel(wh, ww, nc, heads, nwh, has_mask)
+    kernel = _make_qkv_kernel(wh, ww, nc, heads, nwh, has_mask,
+                              has_bias=bias is not None)
     n_steps = b * nwh * (nww // nc)
     return pl.pallas_call(
         kernel,
@@ -1357,7 +1377,8 @@ def _qkv_forward(x, w_qkv, b_qkv, scale, mask_pattern, window, interpret,
 
 
 def _make_qkv_bwd_kernel(wh: int, ww: int, nc: int, heads: int,
-                         n_window_rows: int, has_mask: bool):
+                         n_window_rows: int, has_mask: bool,
+                         has_bias: bool = False):
     """Fully-fused backward for the qkv kernel.
 
     Per grid step it reads the activation block x and the cotangent block g
@@ -1390,10 +1411,12 @@ def _make_qkv_bwd_kernel(wh: int, ww: int, nc: int, heads: int,
         g_ref = refs[i]; i += 1
         mask_ref = refs[i] if has_mask else None; i += has_mask
         bflag_ref = refs[i] if has_mask else None; i += has_mask
+        bias_ref = refs[i] if has_bias else None; i += has_bias
         dx_ref = refs[i]; i += 1
         dw_ref = refs[i]; i += 1
         db_ref = refs[i]; i += 1
         dscale_ref = refs[i]; i += 1
+        dbias_ref = refs[i] if has_bias else None; i += has_bias
         dqkv_ref = refs[i]; i += 1  # scratch [nc, l, 3C] bf16
         qkvh_ref = refs[i]; i += 1  # scratch [3, heads, nc, l, hd] bf16
         gh_ref = refs[i]  # scratch [heads, nc, l, hd] bf16
@@ -1414,6 +1437,8 @@ def _make_qkv_bwd_kernel(wh: int, ww: int, nc: int, heads: int,
             dw_ref[...] = jnp.zeros_like(dw_ref)
             db_ref[...] = jnp.zeros_like(db_ref)
             dscale_ref[...] = jnp.zeros_like(dscale_ref)
+            if has_bias:
+                dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
         # recompute the qkv projection exactly as the forward kernel does
         x2 = x_ref[0].reshape(wh * wc, c_in)
@@ -1486,6 +1511,11 @@ def _make_qkv_bwd_kernel(wh: int, ww: int, nc: int, heads: int,
                 )
             scl = shb_ref[lo:hi, :].reshape(sz, 1, 1)
             z = (s_c[ci] - 1.0) * scl
+            if has_bias:
+                z = (
+                    z.reshape(hpc, nc, l, l)
+                    + bias_ref[ci * hpc : (ci + 1) * hpc, :, :][:, None]
+                ).reshape(sz, l, l)
             if has_mask:
                 z = z + mask_add
             e = jnp.exp(z)
@@ -1504,7 +1534,17 @@ def _make_qkv_bwd_kernel(wh: int, ww: int, nc: int, heads: int,
                 preferred_element_type=jnp.float32,
             )  # [sz, L, L]
             u = jnp.sum(dp * e, axis=-1, keepdims=True)
-            dsb = ((dp - u * r) * e * (r * scl)).astype(jnp.bfloat16)
+            if has_bias:
+                # dz = softmax vjp (no scale factor): the bias cotangent,
+                # summed over this chunk's nc windows into the VMEM-resident
+                # accumulator; dsb then folds in the per-head scale
+                dz = (dp - u * r) * (e * r)
+                dbias_ref[ci * hpc : (ci + 1) * hpc] += jnp.sum(
+                    dz.reshape(hpc, nc, l, l), axis=1
+                )
+                dsb = (dz * scl).astype(jnp.bfloat16)
+            else:
+                dsb = ((dp - u * r) * e * (r * scl)).astype(jnp.bfloat16)
             dqn = jax.lax.dot_general(
                 dsb, kn16[lo:hi],
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -1574,7 +1614,7 @@ def _make_qkv_bwd_kernel(wh: int, ww: int, nc: int, heads: int,
 
 
 def _qkv_backward(x, w_qkv, b_qkv, scale, g, mask_pattern, window, interpret,
-                  w_chunk_windows: int = None, bflag=None):
+                  w_chunk_windows: int = None, bflag=None, bias=None):
     if w_chunk_windows is None:
         w_chunk_windows = QKV_BWD_WC
     b, h, w, c_in = x.shape
@@ -1623,23 +1663,36 @@ def _qkv_backward(x, w_qkv, b_qkv, scale, g, mask_pattern, window, interpret,
             pl.BlockSpec((1, 1), lambda bi, r, wcix: (0, 0), memory_space=pltpu.SMEM)
         )
         args.append(_bflag_arr(bflag))
+    has_bias = bias is not None
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec(
+                (heads, l, l), lambda bi, r, wcix: (0, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        args.append(bias.astype(jnp.float32))
 
     acc_spec = lambda shape: pl.BlockSpec(  # noqa: E731 — VMEM-resident accumulator
         shape, lambda bi, r, wcix: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
-    kernel = _make_qkv_bwd_kernel(wh, ww, nc, heads, nwh, has_mask)
+    kernel = _make_qkv_bwd_kernel(wh, ww, nc, heads, nwh, has_mask, has_bias=has_bias)
     n_steps = b * nwh * (nww // nc)
-    dx, dw, db, dscale = pl.pallas_call(
+    out_specs = [x_spec, acc_spec((c_in, c3)), acc_spec((8, c3)), acc_spec((8, 128))]
+    out_shapes = [
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.ShapeDtypeStruct((c_in, c3), jnp.float32),
+        jax.ShapeDtypeStruct((8, c3), jnp.float32),
+        jax.ShapeDtypeStruct((8, 128), jnp.float32),
+    ]
+    if has_bias:
+        out_specs.append(acc_spec((heads, l, l)))
+        out_shapes.append(jax.ShapeDtypeStruct((heads, l, l), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=(x_spec, acc_spec((c_in, c3)), acc_spec((8, c3)), acc_spec((8, 128))),
-        out_shape=(
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct((c_in, c3), jnp.float32),
-            jax.ShapeDtypeStruct((8, c3), jnp.float32),
-            jax.ShapeDtypeStruct((8, 128), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         scratch_shapes=[
             pltpu.VMEM((nc, l, c3), jnp.bfloat16),
             pltpu.VMEM((3, heads, nc, l, hd), jnp.bfloat16),
@@ -1655,6 +1708,9 @@ def _qkv_backward(x, w_qkv, b_qkv, scale, g, mask_pattern, window, interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+    dx, dw, db, dscale = outs[:4]
+    if has_bias:
+        return dx, dw, db[0], dscale[0, :heads], outs[4]
     return dx, dw, db[0], dscale[0, :heads]
 
 
@@ -1723,6 +1779,91 @@ def _build_qkv(window, pattern_key, interpret: bool):
         ).astype(w_qkv.dtype)
         db = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1, 2)).astype(b_qkv.dtype)
         return dx, dw, db, dscale, jnp.zeros_like(bflag)
+
+    fused.defvjp(f_fwd, f_bwd)
+    return fused
+
+
+@functools.lru_cache(maxsize=64)
+def _build_qkv_bias(window, pattern_key, interpret: bool):
+    """v3 qkv-fused kernel with the CPB relative-position bias (exact).
+
+    The [heads, L, L] bias is row-max-shifted on the host (softmax is
+    invariant to row-constant shifts) so the kernel's max-free softmax stays
+    rigorous: z = (s-1)*scale + bias_shift + mask <= 0, and each row keeps an
+    entry with bias_shift == 0, bounding the denominator below by
+    exp(-2*scale_max) ~= 1e-4. d(bias) w.r.t. the ORIGINAL bias equals
+    d(bias_shift): softmax-vjp rows sum to zero, so the row-max subtraction
+    contributes nothing. The same row-sum-zero argument keeps the in-kernel
+    d(scale) identity sum(dz*s) == sum(qn*dqn)/scale valid with bias.
+    """
+    mask_pattern = None
+    if pattern_key is not None:
+        buf, shape = pattern_key
+        mask_pattern = np.frombuffer(buf, np.float32).reshape(shape)
+
+    def _shift(bias):
+        b32 = bias.astype(jnp.float32)
+        return b32 - jax.lax.stop_gradient(jnp.max(b32, axis=-1, keepdims=True))
+
+    @jax.custom_vjp
+    def fused(x, w_qkv, b_qkv, scale, bias, bflag):
+        return _qkv_forward(x, w_qkv, b_qkv, scale, mask_pattern, window, interpret,
+                            bflag=bflag, bias=_shift(bias))
+
+    def f_fwd(x, w_qkv, b_qkv, scale, bias, bflag):
+        return (
+            fused(x, w_qkv, b_qkv, scale, bias, bflag),
+            (x, w_qkv, b_qkv, scale, bias, bflag),
+        )
+
+    def f_bwd(res, g):
+        x, w_qkv, b_qkv, scale, bias, bflag = res
+        if QKV_BWD_IMPL == "pallas":
+            dx, dw, db, dscale, dbias = _qkv_backward(
+                x, w_qkv, b_qkv, scale, g, mask_pattern, window, interpret,
+                bflag=bflag, bias=_shift(bias),
+            )
+            return (
+                dx,
+                dw.astype(w_qkv.dtype),
+                db.astype(b_qkv.dtype),
+                dscale.astype(scale.dtype),
+                dbias.astype(bias.dtype),
+                jnp.zeros_like(bflag),
+            )
+        # fallback: recompute qkv in XLA, reuse the grid backward kernel
+        # (which recomputes softmax with the raw bias — softmax-equivalent),
+        # then chain through the projection for dx/dW/db
+        heads = scale.shape[0]
+        c = w_qkv.shape[-1] // 3
+        qkv = (
+            jnp.einsum(
+                "bhwc,cd->bhwd", x.astype(jnp.bfloat16), w_qkv.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            + b_qkv
+        ).astype(x.dtype)
+        q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
+        qn, inv_q = _normalize_heads(q, heads)
+        kn, inv_k = _normalize_heads(k, heads)
+        dqn, dkn, dv, dscale, dbias = _grid_backward(
+            qn, kn, v, scale, g, bias, mask_pattern, window, interpret,
+            bflag=bflag,
+        )
+        dq = _normalize_vjp(qn, inv_q, dqn, heads, jnp.bfloat16)
+        dk = _normalize_vjp(kn, inv_k, dkn, heads, jnp.bfloat16)
+        dqkv = jnp.concatenate([dq, dk, dv.astype(jnp.bfloat16)], axis=-1)
+        dx = jnp.einsum(
+            "bhwd,cd->bhwc", dqkv, w_qkv.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        dw = jnp.einsum(
+            "bhwc,bhwd->cd", x.astype(jnp.bfloat16), dqkv,
+            preferred_element_type=jnp.float32,
+        ).astype(w_qkv.dtype)
+        db = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1, 2)).astype(b_qkv.dtype)
+        return dx, dw, db, dscale, dbias.astype(bias.dtype), jnp.zeros_like(bflag)
 
     fused.defvjp(f_fwd, f_bwd)
     return fused
@@ -3334,6 +3475,7 @@ def fused_window_attention_qkv(
     mask_pattern: Optional[np.ndarray] = None,
     boundary_flag=None,  # scalar gate on the mask (spatial sharding)
     impl: Optional[str] = None,  # None = module default (SWIN_QKV_IMPL)
+    bias: Optional[jnp.ndarray] = None,  # CPB [heads, L, L] (v3 schedule)
 ) -> jnp.ndarray:
     """qkv projection + window attention fused: [B,H,W,Cin] -> [B,H,W,C]."""
     wh, ww = int(window[0]), int(window[1])
@@ -3343,6 +3485,11 @@ def fused_window_attention_qkv(
     if mask_pattern is not None:
         arr = np.ascontiguousarray(np.asarray(mask_pattern, np.float32))
         pattern_key = (arr.tobytes(), arr.shape)
+    if bias is not None:
+        # CPB bias rides the v3 schedule (the default and the measured-best;
+        # the A/B variants v4/v5/v6 are bias-free measurement kernels)
+        fn = _build_qkv_bias((wh, ww), pattern_key, not _on_tpu())
+        return fn(x, w_qkv, b_qkv, scale, bias, _bflag_arr(boundary_flag))
     sel = impl or QKV_IMPL
     if sel == "v4":
         heads = int(scale.shape[0])

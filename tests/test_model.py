@@ -125,6 +125,39 @@ class TestPatchEmbed:
         np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=2e-5)
 
 
+class TestLayerNormImpls:
+    def test_onepass_matches_twopass(self, rng):
+        # SWIN_LN_IMPL=onepass (E[x^2]-E[x]^2 in fp32) must agree with the
+        # default centered form to fp32 rounding, incl. large means and bf16
+        # inputs, and its gradients must match too.
+        from swin_v2_weather_tpu.models import swin as swin_mod
+        from swin_v2_weather_tpu.models.swin import Fp32LayerNorm
+
+        x32 = jnp.asarray(rng.normal(size=(4, 7, 96)) * 3.0 + 15.0, jnp.float32)
+        ln = Fp32LayerNorm()
+        params = ln.init(jax.random.key(0), x32)
+        params = jax.tree.map(
+            lambda p: p + 0.3 * jnp.asarray(rng.normal(size=p.shape), p.dtype), params
+        )
+
+        def run(impl, x):
+            old = swin_mod.LN_IMPL
+            swin_mod.LN_IMPL = impl
+            try:
+                y, g = jax.value_and_grad(
+                    lambda xx: jnp.sum(jnp.sin(ln.apply(params, xx)))
+                )(x)
+            finally:
+                swin_mod.LN_IMPL = old
+            return np.asarray(y), np.asarray(g)
+
+        for x in (x32, x32.astype(jnp.bfloat16)):
+            y2, g2 = run("twopass", x)
+            y1, g1 = run("onepass", x)
+            np.testing.assert_allclose(y1, y2, rtol=2e-5, atol=2e-4)
+            np.testing.assert_allclose(g1, g2, rtol=2e-4, atol=2e-4)
+
+
 class TestInitBehavior:
     def test_blocks_start_as_identity(self, rng):
         # init_values=0 zeroes both post-norms -> block(x) == x at init

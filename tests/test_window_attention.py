@@ -303,6 +303,128 @@ class TestQkvKernel:
                 **tols.get(name, dict(atol=8e-2, rtol=5e-3)),
             )
 
+    def _reference_bias(self, x, w, b, scale, bias, patt):
+        from swin_v2_weather_tpu.ops.window_attention import reference_attention_grid
+
+        qkv = jnp.einsum("bhwc,cd->bhwd", x, w) + b
+        c = self.C
+        q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
+        return reference_attention_grid(
+            q, k, v, scale, bias, patt, (self.WH, self.WW)
+        )
+
+    @pytest.mark.parametrize("use_mask", [False, True])
+    def test_forward_with_bias_matches_reference(self, xwbs, rng, use_mask):
+        """CPB bias riding the v3 schedule (row-max-shifted max-free
+        softmax) vs the raw-bias XLA reference."""
+        from swin_v2_weather_tpu.ops.window_attention import fused_window_attention_qkv
+
+        x, w, b, scale = xwbs
+        l = self.WH * self.WW
+        # large positive entries exercise the row-max shift
+        bias = jnp.asarray(rng.standard_normal((HEADS, l, l)) * 3.0, jnp.float32)
+        patt = (
+            make_shift_mask((self.H, self.W), (self.WH, self.WW), (1, 2))[-1]
+            if use_mask
+            else None
+        )
+        out = fused_window_attention_qkv(
+            x, w, b, scale, (self.WH, self.WW), patt, bias=bias
+        )
+        ref = self._reference_bias(x, w, b, scale, bias, patt)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2)
+
+    @pytest.mark.parametrize("bwd_impl", ["pallas", "xla"])
+    @pytest.mark.parametrize("use_mask", [False, True])
+    def test_backward_with_bias_matches_reference(
+        self, xwbs, rng, use_mask, bwd_impl, monkeypatch
+    ):
+        """dx, dW, db, dscale AND d(bias) — the VMEM-accumulated bias
+        cotangent — vs the fp32 XLA composition's jax.grad."""
+        from swin_v2_weather_tpu.ops import window_attention as wa
+
+        monkeypatch.setattr(wa, "QKV_BWD_IMPL", bwd_impl)
+        x, w, b, scale = xwbs
+        l = self.WH * self.WW
+        # sigma=1.5: still exercises the row-max shift (positive entries)
+        # without making the softmax so sharp that the kernel's bf16 qkv
+        # rounding dominates the (fp32-reference) comparison
+        bias = jnp.asarray(rng.standard_normal((HEADS, l, l)) * 1.5, jnp.float32)
+        patt = (
+            make_shift_mask((self.H, self.W), (self.WH, self.WW), (1, 2))[-1]
+            if use_mask
+            else None
+        )
+
+        def f(x, w, b, s, bi):
+            out = wa.fused_window_attention_qkv(
+                x, w, b, s, (self.WH, self.WW), patt, bias=bi
+            )
+            return jnp.sum(out * out)
+
+        def fr(x, w, b, s, bi):
+            out = self._reference_bias(x, w, b, s, bi, patt)
+            return jnp.sum(out * out)
+
+        g = jax.grad(f, argnums=(0, 1, 2, 3, 4))(x, w, b, scale, bias)
+        gr = jax.grad(fr, argnums=(0, 1, 2, 3, 4))(x, w, b, scale, bias)
+        tols = {
+            # the bias sharpens the softmax, amplifying the bf16-qkv noise
+            # in the ~2k-term dW/db sums vs the fp32 reference; both routes
+            # were cross-checked against an fp64 oracle (<1% dscale)
+            "dW": dict(atol=6e-1, rtol=3e-2),
+            "db": dict(atol=6e-1, rtol=3e-2),
+            "dscale": dict(atol=1e-1, rtol=3e-2),
+            "dbias": dict(atol=2e-1, rtol=2e-2),
+        }
+        for name, a, b_ in zip(("dx", "dW", "db", "dscale", "dbias"), g, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), err_msg=name,
+                **tols.get(name, dict(atol=8e-2, rtol=5e-3)),
+            )
+
+    def test_zero_bias_equals_no_bias(self, xwbs):
+        """bias == 0 through the bias kernels must reproduce the no-bias
+        kernels bit-near-exactly (immune to the bf16 tolerance question:
+        both routes share the same schedule and rounding points)."""
+        from swin_v2_weather_tpu.ops import window_attention as wa
+
+        x, w, b, scale = xwbs
+        l = self.WH * self.WW
+        zero_bias = jnp.zeros((HEADS, l, l), jnp.float32)
+
+        out_b = wa.fused_window_attention_qkv(
+            x, w, b, scale, (self.WH, self.WW), None, bias=zero_bias
+        )
+        out_nb = wa.fused_window_attention_qkv(
+            x, w, b, scale, (self.WH, self.WW), None, impl="v3"
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_b), np.asarray(out_nb), atol=1e-5
+        )
+        g_b = jax.grad(
+            lambda *a: jnp.sum(
+                wa.fused_window_attention_qkv(
+                    a[0], a[1], a[2], a[3], (self.WH, self.WW), None, bias=zero_bias
+                )
+                ** 2
+            ),
+            argnums=(0, 1, 2, 3),
+        )(x, w, b, scale)
+        g_nb = jax.grad(
+            lambda *a: jnp.sum(
+                wa.fused_window_attention_qkv(
+                    a[0], a[1], a[2], a[3], (self.WH, self.WW), None, impl="v3"
+                )
+                ** 2
+            ),
+            argnums=(0, 1, 2, 3),
+        )(x, w, b, scale)
+        for name, a, b_ in zip(("dx", "dW", "db", "dscale"), g_b, g_nb):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), err_msg=name, atol=5e-4, rtol=1e-5
+            )
+
     @pytest.mark.parametrize("use_mask", [False, True])
     def test_v6_padded_forward_matches_reference(self, xwbs, use_mask):
         """v6 output: per-head 128-lane slots, pad lanes EXACTLY zero, real
@@ -416,6 +538,47 @@ class TestModelParity:
         y_xla = m_xla.apply(params, x)
         y_pal = m_pal.apply(params, x)
         np.testing.assert_allclose(np.asarray(y_xla), np.asarray(y_pal), atol=5e-2)
+
+    def test_qkv_rel_pos_equals_xla_model(self):
+        """rel_pos=True (CPB bias) through attn_impl='pallas_qkv' — the
+        v3-with-bias kernels — matches the xla path from the same params,
+        forward AND gradients."""
+        kw = dict(
+            img_size=(24, 48), patch_size=2, in_chans=5, out_chans=4, embed_dim=32,
+            depth=2, num_heads=2, img_window_ratio=8, rel_pos=True, residual=True,
+            full_pos_embed=False, dtype=jnp.float32, scan_blocks=True,
+        )
+        x = jnp.asarray(
+            np.random.default_rng(7).standard_normal((2, 5, 24, 48)), jnp.float32
+        )
+        m_xla = SwinTransformerV2(**kw, attn_impl="xla")
+        m_qkv = SwinTransformerV2(**kw, attn_impl="pallas_qkv")
+        params = m_xla.init(jax.random.key(0), x)
+        y_xla = m_xla.apply(params, x)
+        y_qkv = m_qkv.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y_xla), np.asarray(y_qkv), atol=5e-2)
+
+        def loss(m):
+            return lambda p: jnp.sum(m.apply(p, x) ** 2)
+
+        g_xla = jax.grad(loss(m_xla))(params)
+        g_qkv = jax.grad(loss(m_qkv))(params)
+        # CPB meta-MLP params only receive gradient through d(bias) — check
+        # they match (the kernel's VMEM-accumulated dbias drives them)
+        flat_x = jax.tree_util.tree_leaves_with_path(g_xla)
+        flat_q = {jax.tree_util.keystr(k): v for k, v in
+                  jax.tree_util.tree_leaves_with_path(g_qkv)}
+        checked_meta = 0
+        for k, v in flat_x:
+            ks = jax.tree_util.keystr(k)
+            a, b = np.asarray(v), np.asarray(flat_q[ks])
+            # scale-aware: the two impls round at different points, so
+            # compare against each leaf's own gradient magnitude
+            denom = max(1.0, float(np.max(np.abs(b))))
+            assert float(np.max(np.abs(a - b))) <= 5e-3 * denom, ks
+            if "meta_mlp" in ks:
+                checked_meta += 1
+        assert checked_meta > 0
 
     def test_qkv_v6_equals_v3_model(self, monkeypatch):
         """attn_impl='pallas_qkv' with the v6 (lane-aligned padded) kernel

@@ -57,7 +57,8 @@ def main():
     t0 = datetime.datetime(2018, 1, 1)
     keep = list(range(args.keep))
 
-    # --- scanned path ---
+    # --- scanned path (as the API runs it: ic + zenith stack pushed per
+    # call — through the dev tunnel that H2D leg dominates; see 'compute') ---
     out = engine.rollout_scanned(ic, t0, args.steps, keep_channels=keep)
     _ = float(jnp.sum(out))  # warm + force fetch through the tunnel
     t = time.perf_counter()
@@ -65,6 +66,19 @@ def main():
         out = engine.rollout_scanned(ic, t0, args.steps, keep_channels=keep)
         _ = float(jnp.sum(out))
     scanned_s = (time.perf_counter() - t) / args.iters
+
+    # --- scanned path, device-resident inputs: the pure compute rate (on a
+    # production host the ~0.5 GB of ic+zenith H2D rides PCIe at >10 GB/s,
+    # overlapped; through the axon dev tunnel it costs ~13 s/call and must
+    # be excluded to see the chip) ---
+    fn = engine._build_scan(1, tuple(keep))
+    ic_d = jax.device_put(jnp.asarray(ic, jnp.float32))
+    zstack_d = jax.device_put(jnp.asarray(engine.zenith_stack(t0, args.steps)))
+    _ = float(jnp.sum(fn(engine.variables, ic_d, zstack_d)))  # warm
+    t = time.perf_counter()
+    for _ in range(args.iters):
+        _ = float(jnp.sum(fn(engine.variables, ic_d, zstack_d)))
+    compute_s = (time.perf_counter() - t) / args.iters
 
     # --- host-stepped path ---
     o = engine.rollout(ic, t0, n_steps=args.steps, keep_channels=keep)
@@ -75,6 +89,8 @@ def main():
 
     print(json.dumps({
         "steps": args.steps,
+        "scanned_compute_s_per_ic": round(compute_s, 3),
+        "scanned_compute_ms_per_step": round(compute_s / args.steps * 1e3, 2),
         "scanned_s_per_ic": round(scanned_s, 3),
         "host_stepped_s_per_ic": round(host_s, 3),
         "scanned_ms_per_step": round(scanned_s / args.steps * 1e3, 2),

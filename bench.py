@@ -51,7 +51,8 @@ def main():
     # measured-best single-chip config (see ROADMAP.md): qkv-fused attention
     # kernel (batched-head fwd/bwd) + min-recompute 'mlp3' remat policy +
     # unrolled blocks (no scan-stacked save buffers: the per-iteration
-    # dynamic-update-slice saves ran at ~1/6 HBM peak; 465 -> 431 ms)
+    # dynamic-update-slice saves ran at ~1/6 HBM peak; 465 -> 431 ms) +
+    # fused fc1+GELU Pallas kernel pair (SWIN_MLP_IMPL default; 431 -> 417)
     params["attn_impl"] = "pallas_qkv"
     params["remat_policy"] = "mlp3"
     params["scan_blocks"] = False

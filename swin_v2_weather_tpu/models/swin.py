@@ -230,6 +230,37 @@ class DropPath(nn.Module):
         return x * mask / jnp.asarray(keep, x.dtype)
 
 
+# MLP fc1+GELU implementation. 'fused' routes fc1 + exact-erf GELU through
+# the Pallas kernel pair in ops/mlp_kernels.py (single-output, MXU/VPU
+# pipelined; XLA's fusion serializes the erf after the matmul — 88 vs 188
+# TFLOP/s on the epilogue-free fc2). 'plain' is the unfused Dense + gelu.
+# NOTE: under 'fused' the pre-activation never materializes, so the
+# remat_policy='mlp_fc1' named save has nothing to save (that policy
+# measured worse than 'mlp3' anyway and is kept for A/B only).
+MLP_IMPL = _os.environ.get("SWIN_MLP_IMPL", "fused")
+if MLP_IMPL not in ("fused", "plain"):
+    raise ValueError(
+        f"SWIN_MLP_IMPL={MLP_IMPL!r} invalid; expected 'fused' or 'plain'"
+    )
+
+_GELU_EXACT = partial(jax.nn.gelu, approximate=False)
+
+
+class DenseParams(nn.Module):
+    """Parameter-only stand-in for a Dense layer (same path/shapes/init) so
+    fused kernels can consume the raw weight matrices; checkpoints stay
+    interchangeable with the unfused path."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_kernel_init, (self.in_features, self.features))
+        bias = self.param("bias", torch_bias_init(self.in_features), (self.features,))
+        return kernel, bias
+
+
 class Mlp(nn.Module):
     """Dense -> GELU -> Dropout -> Dense -> Dropout (timm Mlp semantics)."""
 
@@ -237,18 +268,30 @@ class Mlp(nn.Module):
     hidden_features: int
     out_features: int
     drop: Tuple[float, float] = (0.0, 0.0)
-    act: Callable = partial(jax.nn.gelu, approximate=False)
+    act: Callable = _GELU_EXACT
     dtype: Any = None
+    impl: Optional[str] = None  # None -> module default (SWIN_MLP_IMPL)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         from jax.ad_checkpoint import checkpoint_name
 
-        x = _dense(self.hidden_features, self.in_features, dtype=self.dtype, name="fc1")(x)
-        # saved only under remat_policy='mlp_fc1' (backward recomputes just
-        # the gelu); other policies ignore the name
-        x = checkpoint_name(x, "mlp_fc1")
-        x = self.act(x)
+        if (self.impl or MLP_IMPL) == "fused" and self.act is _GELU_EXACT:
+            from swin_v2_weather_tpu.ops.mlp_kernels import fused_fc1_gelu
+
+            k, b = DenseParams(
+                features=self.hidden_features, in_features=self.in_features,
+                name="fc1",
+            )()
+            x = fused_fc1_gelu(x.astype(self.dtype or x.dtype), k, b)
+        else:
+            x = _dense(
+                self.hidden_features, self.in_features, dtype=self.dtype, name="fc1"
+            )(x)
+            # saved only under remat_policy='mlp_fc1' (backward recomputes
+            # just the gelu); other policies ignore the name
+            x = checkpoint_name(x, "mlp_fc1")
+            x = self.act(x)
         x = nn.Dropout(self.drop[0])(x, deterministic=deterministic)
         x = _dense(self.out_features, self.hidden_features, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.drop[1])(x, deterministic=deterministic)
@@ -468,6 +511,7 @@ class SwinBlock(nn.Module):
     rel_pos: bool = False
     dtype: Any = None
     attn_impl: str = "xla"
+    mlp_impl: Optional[str] = None
     deterministic: bool = True
     # spatial sharding: feat_size is LOCAL rows; runs inside shard_map with
     # H split over `spatial_axis` (see parallel/spatial.py)
@@ -567,6 +611,7 @@ class SwinBlock(nn.Module):
             out_features=c,
             drop=(self.proj_drop, self.proj_drop),
             dtype=self.dtype,
+            impl=self.mlp_impl,
             name="mlp",
         )(x, deterministic=deterministic)
         y = checkpoint_name(y, "mlp_out")
@@ -595,6 +640,7 @@ class BlockPair(nn.Module):
     dtype: Any
     attn_impl: str
     deterministic: bool
+    mlp_impl: Optional[str] = None
     spatial_shards: int = 1
     spatial_axis: str = "model"
 
@@ -614,6 +660,7 @@ class BlockPair(nn.Module):
             rel_pos=self.rel_pos,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            mlp_impl=self.mlp_impl,
             deterministic=self.deterministic,
             spatial_shards=self.spatial_shards,
             spatial_axis=self.spatial_axis,
@@ -702,6 +749,11 @@ class SwinTransformerV2(nn.Module):
     scan_blocks: bool = True
     dtype: Any = jnp.bfloat16  # compute dtype; params are fp32
     attn_impl: str = "xla"
+    # MLP fc1+gelu implementation: None -> module default (SWIN_MLP_IMPL).
+    # Multi-step rollout training sets 'plain': the fused op's custom_vjp
+    # residuals bypass remat's save-dedup, and the duplicated per-step MLP
+    # inputs push the 2-step flagship past a v5e's 16 GB HBM.
+    mlp_impl: Optional[str] = None
     # spatial sharding over the mesh's `model` axis: when > 1, __call__ runs
     # inside shard_map on a LOCAL H slice [B, C, H/shards, W]; shifted-block
     # rolls halo-exchange over ICI (parallel/spatial.py) and the pole mask
@@ -834,6 +886,7 @@ class SwinTransformerV2(nn.Module):
             rel_pos=self.rel_pos,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            mlp_impl=self.mlp_impl,
             deterministic=deterministic,
             spatial_shards=n_sp,
             spatial_axis=self.spatial_axis,
@@ -876,6 +929,7 @@ class SwinTransformerV2(nn.Module):
                     rel_pos=self.rel_pos,
                     dtype=self.dtype,
                     attn_impl=self.attn_impl,
+                    mlp_impl=self.mlp_impl,
                     deterministic=deterministic,
                     spatial_shards=n_sp,
                     spatial_axis=self.spatial_axis,
@@ -965,5 +1019,13 @@ def build_swin_from_params(params, dtype=None) -> SwinTransformerV2:
         scan_blocks=bool(getattr(params, "scan_blocks", True)),
         dtype=dtype,
         attn_impl=str(getattr(params, "attn_impl", "xla")),
+        # multi-step rollout training defaults the MLP to the unfused path:
+        # the fused op's custom_vjp residuals bypass remat's save-dedup and
+        # the duplicated per-step MLP inputs OOM the 2-step flagship on a
+        # 16 GB v5e (20.4 vs 15.75 GB measured). A config can still force it.
+        mlp_impl=(
+            str(params["mlp_impl"]) if "mlp_impl" in params
+            else ("plain" if int(getattr(params, "n_future", 0) or 0) > 0 else None)
+        ),
         spatial_shards=int(getattr(params, "spatial_shards", 1) or 1),
     )

@@ -1,0 +1,250 @@
+"""Fused fc1+GELU Pallas kernels for the Swin MLP.
+
+Why this exists (r3 roofline, scripts/trace_summary.py on the flagship
+step): XLA emits the fc1 matmul and the exact-erf GELU as ONE fusion that
+runs the MXU phase and the VPU transcendental phase back-to-back — 3.62 ms
+per call at 88 TFLOP/s (45% MXU) with dual 380 MB outputs, 18 calls/step
+= 65 ms of a 431 ms step, vs a ~1.9 ms pipelined floor. The reference hits
+the same op through cuBLAS + a separate GELU kernel (timm ``Mlp``,
+``networks/swinv2_global.py:12``). A tiled Pallas matmul overlaps the GELU
+epilogue with the next tile's dot and stores a SINGLE output:
+
+  * ``fc1_gelu(x2, w, b)``      -> gelu(x2 @ w + b)           (forward)
+  * ``fc1_dpre(x2, w, b, g)``   -> g * gelu'(x2 @ w + b)      (backward)
+
+The backward kernel folds the GELU derivative into the pre-activation
+recompute, so the wide [tokens, hidden] tensors never hit HBM twice: the
+custom_vjp in ``fused_fc1_gelu`` reads x and the cotangent once, writes
+dpre once, and chains dx/dW/db through plain XLA matmuls (which run at
+~95% MXU peak without epilogues).
+
+Numerics match the unfused path: the matmul accumulates fp32, rounds to
+bf16 exactly where ``flax.linen.Dense(dtype=bf16)`` does, and the GELU is
+the exact erf form (``jax.nn.gelu(approximate=False)``), evaluated in fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os as _os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)
+_INV_SQRT2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+
+def _pick_tile(tokens: int, target: int = 648) -> int:
+    """Largest multiple-of-8 divisor of ``tokens`` at or below ``target``."""
+    best = 8
+    for t in range(8, min(tokens, target) + 1, 8):
+        if tokens % t == 0:
+            best = t
+    return best
+
+
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7).
+
+    Mosaic has no erf lowering; this uses only mul/add/exp, is odd-extended
+    via sign, and its error is ~4 decimal orders below the bf16 output
+    resolution of the surrounding network."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(z):
+    return 0.5 * z * (1.0 + _erf(z * _INV_SQRT2))
+
+
+def _gelu_grad(z):
+    phi = jnp.exp(z * z * -0.5) * _INV_SQRT2PI
+    cdf = 0.5 * (1.0 + _erf(z * _INV_SQRT2))
+    return cdf + z * phi
+
+
+# N-chunk software pipeline knob: chunk c+1's dot issued before chunk c's
+# GELU (the attention kernels' head-chunk schedule). MEASURED NEUTRAL at
+# flagship shape (417.2 vs 416.9 ms/step for 4 vs 1): Mosaic schedules the
+# unchunked body equally well, so the simpler form is the default and the
+# knob is kept for A/B on other shapes.
+MLP_CHUNKS = int(_os.environ.get("SWIN_MLP_CHUNKS", "1"))
+
+
+def _n_chunks(hidden: int) -> int:
+    nc = max(1, MLP_CHUNKS)
+    while nc > 1 and (hidden % nc or (hidden // nc) % 128):
+        nc -= 1
+    return nc
+
+
+def _make_fwd_kernel(compute_dtype, hidden: int):
+    nc = _n_chunks(hidden)
+    hc = hidden // nc
+
+    def kernel(x_ref, w_ref, b_ref, o_ref):
+        x = x_ref[...]
+        acc = [None] * nc
+        acc[0] = jax.lax.dot_general(
+            x, w_ref[:, :hc],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for ci in range(nc):
+            lo = ci * hc
+            if ci + 1 < nc:
+                acc[ci + 1] = jax.lax.dot_general(
+                    x, w_ref[:, lo + hc : lo + 2 * hc],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            # round to the Dense(dtype) output precision BEFORE the
+            # activation, exactly like the unfused fc1 -> gelu path
+            pre = (acc[ci] + b_ref[0, lo : lo + hc]).astype(compute_dtype).astype(
+                jnp.float32
+            )
+            o_ref[:, lo : lo + hc] = _gelu_exact(pre).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _make_bwd_kernel(compute_dtype, hidden: int):
+    nc = _n_chunks(hidden)
+    hc = hidden // nc
+
+    def kernel(x_ref, w_ref, b_ref, g_ref, o_ref):
+        x = x_ref[...]
+        acc = [None] * nc
+        acc[0] = jax.lax.dot_general(
+            x, w_ref[:, :hc],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for ci in range(nc):
+            lo = ci * hc
+            if ci + 1 < nc:
+                acc[ci + 1] = jax.lax.dot_general(
+                    x, w_ref[:, lo + hc : lo + 2 * hc],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            pre = (acc[ci] + b_ref[0, lo : lo + hc]).astype(compute_dtype).astype(
+                jnp.float32
+            )
+            o_ref[:, lo : lo + hc] = (
+                g_ref[:, lo : lo + hc].astype(jnp.float32) * _gelu_grad(pre)
+            ).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _common_specs(tm: int, c_in: int, hidden: int):
+    return [
+        pl.BlockSpec((tm, c_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c_in, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+def fc1_gelu_pallas(x2, w, b, interpret=None):
+    """gelu(x2 @ w + b): [T, C_in] @ [C_in, H] -> [T, H] (dtype of x2)."""
+    t, c_in = x2.shape
+    hidden = w.shape[-1]
+    tm = _pick_tile(t)
+    interp = (not _on_tpu()) if interpret is None else interpret
+    kernel = _make_fwd_kernel(x2.dtype, hidden)
+    return pl.pallas_call(
+        kernel,
+        grid=(t // tm,),
+        in_specs=_common_specs(tm, c_in, hidden),
+        out_specs=pl.BlockSpec((tm, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, hidden), x2.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * c_in * hidden,
+            bytes_accessed=(t * c_in + c_in * hidden + t * hidden) * x2.dtype.itemsize,
+            transcendentals=t * hidden,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interp,
+    )(x2, w.astype(x2.dtype), b.reshape(1, -1).astype(jnp.float32))
+
+
+def fc1_dpre_pallas(x2, w, b, g, interpret=None):
+    """g * gelu'(x2 @ w + b): the fused backward pre-activation cotangent."""
+    t, c_in = x2.shape
+    hidden = w.shape[-1]
+    tm = _pick_tile(t)
+    interp = (not _on_tpu()) if interpret is None else interpret
+    kernel = _make_bwd_kernel(x2.dtype, hidden)
+    specs = _common_specs(tm, c_in, hidden)
+    specs.append(
+        pl.BlockSpec((tm, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(t // tm,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((tm, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, hidden), x2.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * c_in * hidden,
+            bytes_accessed=(t * c_in + c_in * hidden + 2 * t * hidden)
+            * x2.dtype.itemsize,
+            transcendentals=2 * t * hidden,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interp,
+    )(x2, w.astype(x2.dtype), b.reshape(1, -1).astype(jnp.float32), g)
+
+
+@functools.lru_cache(maxsize=8)
+def _build(interpret_key):
+    @jax.custom_vjp
+    def fused(x2, w, b):
+        return fc1_gelu_pallas(x2, w, b)
+
+    def f_fwd(x2, w, b):
+        return fused(x2, w, b), (x2, w, b)
+
+    def f_bwd(res, g):
+        x2, w, b = res
+        cdt = x2.dtype
+        dpre = fc1_dpre_pallas(x2, w, b, g.astype(cdt))
+        # projection backward at full MXU rate (no epilogues): bf16 in,
+        # fp32 accumulate
+        dx = jnp.dot(dpre, w.astype(cdt).T, preferred_element_type=jnp.float32)
+        dw = jax.lax.dot_general(
+            x2, dpre,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db = jnp.sum(dpre.astype(jnp.float32), axis=0)
+        return dx.astype(x2.dtype), dw.astype(w.dtype), db.astype(b.dtype)
+
+    fused.defvjp(f_fwd, f_bwd)
+    return fused
+
+
+def fused_fc1_gelu(x, w, b):
+    """gelu(x @ w + b) with the Pallas kernel pair; x: [..., C_in]."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    out = _build(not _on_tpu())(x2, w, b)
+    return out.reshape(*lead, w.shape[-1])

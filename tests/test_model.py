@@ -158,6 +158,84 @@ class TestLayerNormImpls:
             np.testing.assert_allclose(g1, g2, rtol=2e-4, atol=2e-4)
 
 
+class TestFusedMlp:
+    def test_kernel_matches_plain_composition(self, rng):
+        """fused_fc1_gelu (Pallas fwd + fused-dpre bwd) vs Dense+gelu, fwd
+        and all gradients, fp32 and bf16."""
+        from swin_v2_weather_tpu.ops.mlp_kernels import fused_fc1_gelu
+
+        t, c_in, hidden = 48, 24, 64
+        x32 = jnp.asarray(rng.standard_normal((t, c_in)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((c_in, hidden)) * 0.2, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(hidden) * 0.1, jnp.float32)
+
+        def plain(x, w, b):
+            pre = (
+                jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+                + b
+            ).astype(x.dtype)
+            return jax.nn.gelu(pre.astype(jnp.float32), approximate=False).astype(
+                x.dtype
+            )
+
+        for dtype, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 2e-2)):
+            x = x32.astype(dtype)
+            y_f = fused_fc1_gelu(x, w, b)
+            y_p = plain(x, w, b)
+            np.testing.assert_allclose(
+                np.asarray(y_f, np.float32), np.asarray(y_p, np.float32), atol=tol
+            )
+            g_f = jax.grad(
+                lambda *a: jnp.sum(fused_fc1_gelu(*a).astype(jnp.float32) ** 2),
+                argnums=(0, 1, 2),
+            )(x, w, b)
+            g_p = jax.grad(
+                lambda *a: jnp.sum(plain(*a).astype(jnp.float32) ** 2),
+                argnums=(0, 1, 2),
+            )(x, w, b)
+            for name, a, b_ in zip(("dx", "dw", "db"), g_f, g_p):
+                np.testing.assert_allclose(
+                    np.asarray(a, np.float32), np.asarray(b_, np.float32),
+                    err_msg=f"{name} {dtype}", atol=tol * 30, rtol=2e-2,
+                )
+
+    def test_model_fused_equals_plain(self, rng):
+        """Whole-model outputs + grads agree across SWIN_MLP_IMPL, from the
+        same params (checkpoint interchangeability)."""
+        from swin_v2_weather_tpu.models import swin as swin_mod
+
+        model = tiny_model()
+        x = jnp.asarray(rng.normal(size=(1, 5, 24, 48)), jnp.float32)
+
+        def run(impl):
+            old = swin_mod.MLP_IMPL
+            swin_mod.MLP_IMPL = impl
+            try:
+                params = model.init(jax.random.key(0), x)
+                y = model.apply(params, x)
+                g = jax.grad(lambda p: jnp.sum(model.apply(p, x) ** 2))(params)
+            finally:
+                swin_mod.MLP_IMPL = old
+            return params, np.asarray(y), g
+
+        p_f, y_f, g_f = run("fused")
+        p_p, y_p, g_p = run("plain")
+        # same init (identical param paths/shapes -> identical rng draws)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            p_f, p_p,
+        )
+        np.testing.assert_allclose(y_f, y_p, atol=1e-4)
+        flat_f = jax.tree_util.tree_leaves_with_path(g_f)
+        flat_p = {jax.tree_util.keystr(k): v for k, v in
+                  jax.tree_util.tree_leaves_with_path(g_p)}
+        for k, v in flat_f:
+            ks = jax.tree_util.keystr(k)
+            a, b = np.asarray(v), np.asarray(flat_p[ks])
+            denom = max(1.0, float(np.max(np.abs(b))))
+            assert float(np.max(np.abs(a - b))) <= 1e-4 * denom, ks
+
+
 class TestInitBehavior:
     def test_blocks_start_as_identity(self, rng):
         # init_values=0 zeroes both post-norms -> block(x) == x at init

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--steps", type=int, default=56)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--keep", type=int, default=3, help="channels kept per step")
+    ap.add_argument("--batch", type=int, default=1, help="initial conditions per rollout (batched inference)")
+    ap.add_argument("--compute-only", action="store_true", help="skip the tunnel-bound API-path measurements")
     args = ap.parse_args()
 
     import jax
@@ -53,25 +55,29 @@ def main():
     variables = model.init(jax.random.key(0), x, train=False)
 
     engine = RolloutEngine(params, model, variables)
-    ic = rng.standard_normal((1, n_out, h, w)).astype(np.float32) * 0.1
+    ic = rng.standard_normal((args.batch, n_out, h, w)).astype(np.float32) * 0.1
     t0 = datetime.datetime(2018, 1, 1)
     keep = list(range(args.keep))
 
     # --- scanned path (as the API runs it: ic + zenith stack pushed per
     # call — through the dev tunnel that H2D leg dominates; see 'compute') ---
-    out = engine.rollout_scanned(ic, t0, args.steps, keep_channels=keep)
-    _ = float(jnp.sum(out))  # warm + force fetch through the tunnel
-    t = time.perf_counter()
-    for _ in range(args.iters):
+    scanned_s = host_s = float("nan")
+    if args.compute_only:
+        pass
+    else:
         out = engine.rollout_scanned(ic, t0, args.steps, keep_channels=keep)
-        _ = float(jnp.sum(out))
-    scanned_s = (time.perf_counter() - t) / args.iters
+        _ = float(jnp.sum(out))  # warm + force fetch through the tunnel
+        t = time.perf_counter()
+        for _ in range(args.iters):
+            out = engine.rollout_scanned(ic, t0, args.steps, keep_channels=keep)
+            _ = float(jnp.sum(out))
+        scanned_s = (time.perf_counter() - t) / args.iters
 
     # --- scanned path, device-resident inputs: the pure compute rate (on a
     # production host the ~0.5 GB of ic+zenith H2D rides PCIe at >10 GB/s,
     # overlapped; through the axon dev tunnel it costs ~13 s/call and must
     # be excluded to see the chip) ---
-    fn = engine._build_scan(1, tuple(keep))
+    fn = engine._build_scan(args.batch, tuple(keep))
     ic_d = jax.device_put(jnp.asarray(ic, jnp.float32))
     zstack_d = jax.device_put(jnp.asarray(engine.zenith_stack(t0, args.steps)))
     _ = float(jnp.sum(fn(engine.variables, ic_d, zstack_d)))  # warm
@@ -81,14 +87,17 @@ def main():
     compute_s = (time.perf_counter() - t) / args.iters
 
     # --- host-stepped path ---
-    o = engine.rollout(ic, t0, n_steps=args.steps, keep_channels=keep)
-    t = time.perf_counter()
-    for _ in range(args.iters):
+    if not args.compute_only:
         o = engine.rollout(ic, t0, n_steps=args.steps, keep_channels=keep)
-    host_s = (time.perf_counter() - t) / args.iters
+        t = time.perf_counter()
+        for _ in range(args.iters):
+            o = engine.rollout(ic, t0, n_steps=args.steps, keep_channels=keep)
+        host_s = (time.perf_counter() - t) / args.iters
 
     print(json.dumps({
         "steps": args.steps,
+        "batch_ics": args.batch,
+        "scanned_compute_s_per_ic_each": round(compute_s / args.batch, 3),
         "scanned_compute_s_per_ic": round(compute_s, 3),
         "scanned_compute_ms_per_step": round(compute_s / args.steps * 1e3, 2),
         "scanned_s_per_ic": round(scanned_s, 3),

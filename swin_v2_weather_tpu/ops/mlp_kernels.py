@@ -39,8 +39,16 @@ _INV_SQRT2 = 1.0 / math.sqrt(2.0)
 _INV_SQRT2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
 
-def _pick_tile(tokens: int, target: int = 648) -> int:
+# token-tile target (rows per grid step). 648 divides the flagship's
+# 64800 tokens; sweepable for A/B (smaller tiles = more grid steps = more
+# DMA/compute overlap opportunity, bigger = fewer per-step overheads).
+MLP_TM = int(_os.environ.get("SWIN_MLP_TM", "648"))
+
+
+def _pick_tile(tokens: int, target: int = None) -> int:
     """Largest multiple-of-8 divisor of ``tokens`` at or below ``target``."""
+    if target is None:
+        target = MLP_TM
     best = 8
     for t in range(8, min(tokens, target) + 1, 8):
         if tokens % t == 0:

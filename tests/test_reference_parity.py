@@ -362,13 +362,15 @@ class TestReferenceParity:
                 err_msg=ks,
             )
 
-    def test_training_trajectory_matches_torch(self, reference_module):
+    @pytest.mark.parametrize("rel_pos", [False, True])
+    def test_training_trajectory_matches_torch(self, reference_module, rel_pos):
         """20 Adam steps with the cosine LR schedule stepped once per "epoch"
         (reference ``train.py:240-243``): the per-step loss trajectory and
         the final parameters must track torch within fp32 accumulation
         tolerance. Catches LR-application-point, optimizer-state and
         gradient-flow drifts that the single-step test cannot see
-        (VERDICT r2 next #5)."""
+        (VERDICT r2 next #5). The rel_pos=True case trains the CPB meta-MLP
+        through its d(bias) gradient path."""
         import jax
         import jax.numpy as jnp
 
@@ -380,13 +382,15 @@ class TestReferenceParity:
         import optax
 
         n_epochs, steps_per_epoch, base_lr, t_max = 5, 4, 1e-3, 5
-        ref = build_reference(reference_module)
+        if rel_pos:
+            n_epochs = 3  # CPB path: shorter trajectory, same coverage
+        ref = build_reference(reference_module, rel_pos=rel_pos)
         ours = SwinTransformerV2(
             img_size=CFG["img_size"], patch_size=CFG["patch_size"],
             in_chans=CFG["in_chans"], out_chans=CFG["out_chans"],
             embed_dim=CFG["embed_dim"], depth=CFG["depth"],
             num_heads=CFG["num_heads"], img_window_ratio=CFG["window_ratio"],
-            full_pos_embed=True, rel_pos=False, residual=True,
+            full_pos_embed=True, rel_pos=rel_pos, residual=True,
             dtype=jnp.float32, scan_blocks=False, attn_impl="xla",
         )
         rng = np.random.default_rng(31)
@@ -401,7 +405,7 @@ class TestReferenceParity:
         template = jax.eval_shape(
             lambda: ours.init(jax.random.key(0), jnp.asarray(batches[0][0]))
         )
-        params = torch_to_flax(ref, template["params"])
+        params = torch_to_flax(ref, template["params"], rel_pos=rel_pos)
 
         # --- torch trajectory ---
         opt_t = torch.optim.Adam(ref.parameters(), lr=base_lr, betas=(0.9, 0.95))
@@ -416,7 +420,7 @@ class TestReferenceParity:
                 opt_t.step()
                 losses_t.append(float(loss))
             sched_t.step()
-        final_ref = torch_to_flax(ref, template["params"])
+        final_ref = torch_to_flax(ref, template["params"], rel_pos=rel_pos)
 
         # --- our trajectory: inject_hyperparams + our scheduler twin,
         # stepped at the same per-epoch point ---

@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--profile", default=None, help="capture a jax.profiler trace here")
     ap.add_argument(
+        "--mem", action="store_true",
+        help="print the compiled program's HBM analysis (peak temp size etc.)",
+    )
+    ap.add_argument(
         "--set", action="append", default=[], metavar="KEY=VALUE",
         help="override a config value (yaml-parsed; repeatable), e.g. "
         "--set rel_pos=true --set full_pos_embed=false",
@@ -116,6 +120,17 @@ def main():
 
     train_step = build_train_step(model, loss_obj, preprocessor, optimizer, mesh)
     key = jax.random.key(1)
+
+    if args.mem:
+        # train_step is already a jitted callable (build_train_step)
+        ma = train_step.lower(state, batch, key).compile().memory_analysis()
+        if ma is not None:
+            print(
+                f"hbm: temp={ma.temp_size_in_bytes / 2**30:.2f}G "
+                f"args={ma.argument_size_in_bytes / 2**30:.2f}G "
+                f"out={ma.output_size_in_bytes / 2**30:.2f}G "
+                f"total={(ma.temp_size_in_bytes + ma.argument_size_in_bytes) / 2**30:.2f}G"
+            )
 
     t0 = time.perf_counter()
     for _ in range(8):

@@ -781,7 +781,22 @@ class SwinTransformerV2(nn.Module):
         )
 
     def _remat_policy(self):
-        """Named-checkpoint policy for activation_ckpt (None = recompute all)."""
+        """Named-checkpoint policy for activation_ckpt (None = recompute all).
+
+        With the fused MLP (SWIN_MLP_IMPL=fused) the 'block_mid' named save
+        is DROPPED from the mlp/mlp_fc1/mlp3 policies: the fused op's
+        custom_vjp residual already carries that exact tensor (remat cannot
+        discard custom_vjp residuals), and block_mid's only backward
+        consumer is the MLP vjp — keeping both double-saves ~100 MB/block
+        (measured: depth-24 18.9 GB vs 15.75 capacity; with the drop the
+        footprint returns to the unfused layout).
+        """
+        fused_mlp = (self.mlp_impl or MLP_IMPL) == "fused"
+
+        def names(*ns):
+            keep = [n for n in ns if not (fused_mlp and n == "block_mid")]
+            return jax.checkpoint_policies.save_only_these_names(*keep)
+
         if self.remat_policy == "attn":
             # trade ~100 MB/block of HBM for skipping the attention
             # branch's forward recompute during backward
@@ -798,25 +813,20 @@ class SwinTransformerV2(nn.Module):
             # list policy was tried first and OOMed at 33 GB: "save
             # anything except" also keeps every fp32 upcast and roll
             # copy.)
-            return jax.checkpoint_policies.save_only_these_names(
-                "attn_kernel_out", "attn_out", "block_mid", "mlp_out"
-            )
+            return names("attn_kernel_out", "attn_out", "block_mid", "mlp_out")
         if self.remat_policy == "mlp_fc1":
             # like 'mlp' but also saves the 400 MB/block fc1 output:
             # backward recomputes only the gelu. Measured 513 vs 503.7 ms
             # pre-kernel-rewrite: the extra save traffic cancels the
             # recompute win.
-            return jax.checkpoint_policies.save_only_these_names(
-                "attn_kernel_out", "attn_out", "block_mid", "mlp_out",
-                "mlp_fc1",
+            return names(
+                "attn_kernel_out", "attn_out", "block_mid", "mlp_out", "mlp_fc1"
             )
         if self.remat_policy == "mlp3":
             # 'mlp' minus the attn_out save: backward recomputes the
             # proj matmul + roll-back from the saved kernel output.
             # -1.2 GB of save traffic per step for +0.9 TFLOP.
-            return jax.checkpoint_policies.save_only_these_names(
-                "attn_kernel_out", "block_mid", "mlp_out"
-            )
+            return names("attn_kernel_out", "block_mid", "mlp_out")
         return None
 
     @nn.compact
@@ -1019,13 +1029,20 @@ def build_swin_from_params(params, dtype=None) -> SwinTransformerV2:
         scan_blocks=bool(getattr(params, "scan_blocks", True)),
         dtype=dtype,
         attn_impl=str(getattr(params, "attn_impl", "xla")),
-        # multi-step rollout training defaults the MLP to the unfused path:
-        # the fused op's custom_vjp residuals bypass remat's save-dedup and
-        # the duplicated per-step MLP inputs OOM the 2-step flagship on a
-        # 16 GB v5e (20.4 vs 15.75 GB measured). A config can still force it.
+        # The fused MLP defaults ON only for single-step training at
+        # depth <= 12 — elsewhere the kernel's primal outputs/residuals stay
+        # live as HLO temps that XLA's rematerializer does not reclaim the
+        # way it does the unfused fusions (measured: 2-step 20.4 GB and
+        # depth-24 18.9 GB vs 15.75 capacity, both of which fit unfused).
+        # A config key `mlp_impl` overrides either way.
         mlp_impl=(
             str(params["mlp_impl"]) if "mlp_impl" in params
-            else ("plain" if int(getattr(params, "n_future", 0) or 0) > 0 else None)
+            else (
+                "plain"
+                if int(getattr(params, "n_future", 0) or 0) > 0
+                or int(params.depth) > 12
+                else None
+            )
         ),
         spatial_shards=int(getattr(params, "spatial_shards", 1) or 1),
     )

@@ -224,17 +224,25 @@ def fc1_dpre_pallas(x2, w, b, g, interpret=None):
 
 @functools.lru_cache(maxsize=8)
 def _build(interpret_key):
-    @jax.custom_vjp
-    def fused(x2, w, b):
-        return fc1_gelu_pallas(x2, w, b)
+    # NOTE: the custom_vjp takes x in its ORIGINAL [..., C_in] shape and
+    # reshapes inside — the saved residual is then value-identical to the
+    # tensor the remat policy already keeps ('block_mid'), so XLA can alias
+    # the two saves instead of materializing a duplicate per block.
 
-    def f_fwd(x2, w, b):
-        return fused(x2, w, b), (x2, w, b)
+    @jax.custom_vjp
+    def fused(x, w, b):
+        x2 = x.reshape(-1, x.shape[-1])
+        return fc1_gelu_pallas(x2, w, b).reshape(*x.shape[:-1], w.shape[-1])
+
+    def f_fwd(x, w, b):
+        return fused(x, w, b), (x, w, b)
 
     def f_bwd(res, g):
-        x2, w, b = res
-        cdt = x2.dtype
-        dpre = fc1_dpre_pallas(x2, w, b, g.astype(cdt))
+        x, w, b = res
+        cdt = x.dtype
+        x2 = x.reshape(-1, x.shape[-1])
+        g2 = g.reshape(-1, g.shape[-1]).astype(cdt)
+        dpre = fc1_dpre_pallas(x2, w, b, g2)
         # projection backward at full MXU rate (no epilogues): bf16 in,
         # fp32 accumulate
         dx = jnp.dot(dpre, w.astype(cdt).T, preferred_element_type=jnp.float32)
@@ -244,7 +252,11 @@ def _build(interpret_key):
             preferred_element_type=jnp.float32,
         )
         db = jnp.sum(dpre.astype(jnp.float32), axis=0)
-        return dx.astype(x2.dtype), dw.astype(w.dtype), db.astype(b.dtype)
+        return (
+            dx.astype(x.dtype).reshape(x.shape),
+            dw.astype(w.dtype),
+            db.astype(b.dtype),
+        )
 
     fused.defvjp(f_fwd, f_bwd)
     return fused
@@ -252,7 +264,4 @@ def _build(interpret_key):
 
 def fused_fc1_gelu(x, w, b):
     """gelu(x @ w + b) with the Pallas kernel pair; x: [..., C_in]."""
-    lead = x.shape[:-1]
-    x2 = x.reshape(-1, x.shape[-1])
-    out = _build(not _on_tpu())(x2, w, b)
-    return out.reshape(*lead, w.shape[-1])
+    return _build(not _on_tpu())(x, w, b)

@@ -83,6 +83,43 @@ def broadcast_config(cfg: Optional[dict]) -> dict:
     return json.loads(np.asarray(out).tobytes().decode())
 
 
+def hybrid_device_order(devices) -> np.ndarray:
+    """Order devices slice-major for multi-slice (ICI + DCN) topologies.
+
+    On a multi-slice TPU deployment ``jax.devices()`` carries a
+    ``slice_index`` per device; chips within a slice share ICI while
+    cross-slice traffic rides DCN. Laying the mesh's data axis out
+    slice-major (all of slice 0, then all of slice 1, ...) makes every
+    collective's innermost phase ICI-local, so XLA's hierarchical
+    allreduce does one cheap per-slice reduce-scatter over ICI plus one
+    small cross-slice exchange over DCN — the same locality the reference
+    gets from NCCL's intra-node NVLink rings + `NCCL_NET_GDR_LEVEL=PHB`
+    tuning (reference ``submit_batch.sh:11,21``).
+
+    Single-slice (or CPU/virtual) devices have no ``slice_index`` and this
+    is the identity order. Raises if slices are unequally sized (a mesh
+    cannot tile a ragged topology).
+    """
+    devices = list(devices)
+    keys = [getattr(d, "slice_index", None) for d in devices]
+    if all(k is None for k in keys):
+        return np.asarray(devices)
+    groups: dict = {}
+    for d, k in zip(devices, keys):
+        groups.setdefault(0 if k is None else int(k), []).append(d)
+    sizes = {len(g) for g in groups.values()}
+    if len(sizes) != 1:
+        raise ValueError(
+            f"unequal slice sizes {sorted((k, len(g)) for k, g in groups.items())}: "
+            "a rectangular mesh cannot tile a ragged multi-slice topology"
+        )
+    ordered = []
+    for k in sorted(groups):
+        # keep jax's ICI-contiguous order within each slice
+        ordered.extend(groups[k])
+    return np.asarray(ordered)
+
+
 def make_mesh(
     params=None,
     devices=None,
@@ -94,7 +131,11 @@ def make_mesh(
     ``mesh_shape: 'auto'`` (the default) puts every visible device on the
     data axis. An explicit ``[dp, mp]`` list in the config selects a 2-D
     layout; device order follows ``jax.devices()``, which is already
-    ICI-contiguous on TPU slices.
+    ICI-contiguous on TPU slices. Multi-slice deployments are reordered
+    slice-major (:func:`hybrid_device_order`) so the model axis — the
+    high-traffic one (spatial halos, FSDP gathers) — never straddles DCN
+    and gradient allreduces decompose hierarchically (ICI first, then one
+    cross-slice DCN hop).
     """
     if devices is None:
         devices = jax.devices()
@@ -110,7 +151,17 @@ def make_mesh(
         raise ValueError(
             f"mesh {data_parallel}x{model_parallel} does not cover {n} devices"
         )
-    dev_array = np.asarray(devices).reshape(data_parallel, model_parallel)
+    ordered = hybrid_device_order(devices)
+    if model_parallel > 1 and len({getattr(d, "slice_index", 0) or 0 for d in devices}) > 1:
+        # model axis must stay inside one slice: with slice-major order the
+        # minor mesh dim is ICI-local iff the slice size divides by mp
+        slice_size = n // len({getattr(d, "slice_index", 0) or 0 for d in devices})
+        if slice_size % model_parallel != 0:
+            raise ValueError(
+                f"model_parallel={model_parallel} does not divide the slice size "
+                f"{slice_size}; the model axis would straddle DCN"
+            )
+    dev_array = ordered.reshape(data_parallel, model_parallel)
     return Mesh(dev_array, ("data", "model"))
 
 

@@ -230,6 +230,59 @@ class DropPath(nn.Module):
         return x * mask / jnp.asarray(keep, x.dtype)
 
 
+# Post-norm residual branch implementation. 'fused' routes
+# x + drop_path(norm(y)) through the one-pass Pallas kernel pair in
+# ops/ln_kernels.py (reads the branch tensor once per direction instead of
+# XLA's separate stats reduce + apply/add passes, and drops the backward
+# proj+roll recompute under remat_policy='mlp3'). 'xla' is the unfused
+# Fp32LayerNorm + DropPath composition and the DEFAULT: measured on the
+# flagship step the fused op runs at its bandwidth floor (~0.47 ms/call,
+# convert_reduce 29.2 -> 7.6 ms/step) yet the END-TO-END step regresses
+# 416.7 -> 424.2 ms — the residual cotangent that previously rode the
+# matmul-epilogue fusions becomes standalone add_any passes (+7.2 ms) and
+# the surrounding convolution fusions re-associate (+~26 ms), eating the
+# win. Third LN lever measured and cut (after the standalone Pallas LN and
+# the onepass stats form); kept selectable for A/B. Shapes the kernels
+# cannot tile (C not lane-aligned) silently use 'xla'.
+LNADD_IMPL = _os.environ.get("SWIN_LNADD_IMPL", "xla")
+if LNADD_IMPL not in ("fused", "xla"):
+    raise ValueError(
+        f"SWIN_LNADD_IMPL={LNADD_IMPL!r} invalid; expected 'fused' or 'xla'"
+    )
+
+
+class LnParams(nn.Module):
+    """Parameter-only stand-in for Fp32LayerNorm (same path/shapes/init) so
+    the fused LN+drop-path+add kernel can consume the raw scale/bias;
+    checkpoints stay interchangeable with the unfused path."""
+
+    features: int
+    scale_init: Callable = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", self.scale_init, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+class DropPathMask(nn.Module):
+    """The rng-consuming half of DropPath: returns the per-sample multiplier
+    mask/keep as a [B] vector. Named identically to the DropPath module it
+    replaces so the dropout rng stream (folded over the module path) and the
+    drawn mask match the unfused path exactly."""
+
+    @nn.compact
+    def __call__(self, batch: int, rate, deterministic: bool) -> jnp.ndarray:
+        if deterministic:
+            return jnp.ones((batch,), jnp.float32)
+        keep = 1.0 - rate
+        rng = self.make_rng("dropout")
+        # same shape as DropPath's bernoulli draw -> same random bits
+        mask = jax.random.bernoulli(rng, keep, (batch, 1, 1, 1))
+        return (mask.astype(jnp.float32) / jnp.float32(keep)).reshape(batch)
+
+
 # MLP fc1+GELU implementation. 'fused' routes fc1 + exact-erf GELU through
 # the Pallas kernel pair in ops/mlp_kernels.py (single-output, MXU/VPU
 # pipelined; XLA's fusion serializes the erf after the matmul — 88 vs 188
@@ -512,19 +565,40 @@ class SwinBlock(nn.Module):
     dtype: Any = None
     attn_impl: str = "xla"
     mlp_impl: Optional[str] = None
+    lnadd_impl: Optional[str] = None  # None -> module default (SWIN_LNADD_IMPL)
     deterministic: bool = True
     # spatial sharding: feat_size is LOCAL rows; runs inside shard_map with
     # H split over `spatial_axis` (see parallel/spatial.py)
     spatial_shards: int = 1
     spatial_axis: str = "model"
 
-    def _norm(self, name: str):
-        scale_init = (
+    def _scale_init(self):
+        return (
             nn.initializers.constant(self.init_values)
             if self.init_values is not None
             else nn.initializers.ones
         )
-        return Fp32LayerNorm(epsilon=1e-5, scale_init=scale_init, name=name)
+
+    def _norm(self, name: str):
+        return Fp32LayerNorm(epsilon=1e-5, scale_init=self._scale_init(), name=name)
+
+    def _ln_branch(self, norm_name, dp_name, y, x, rate, deterministic):
+        """x + drop_path(norm(y)) — the post-norm residual branch
+        (reference ``networks/swinv2_global.py:489-494``), fused into the
+        one-pass Pallas op when the shape tiles (ops/ln_kernels.py)."""
+        import math
+
+        from swin_v2_weather_tpu.ops import ln_kernels
+
+        c = y.shape[-1]
+        if (self.lnadd_impl or LNADD_IMPL) == "fused" and ln_kernels.supported(
+            math.prod(y.shape[:-1]), c
+        ):
+            scale, bias = LnParams(c, self._scale_init(), name=norm_name)()
+            m = DropPathMask(name=dp_name)(y.shape[0], rate, deterministic)
+            return ln_kernels.fused_ln_droppath_add(y, x, scale, bias, m)
+        y = self._norm(norm_name)(y).astype(x.dtype)
+        return x + DropPath(name=dp_name)(y, rate, deterministic)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, drop_path_rate) -> jnp.ndarray:
@@ -600,8 +674,7 @@ class SwinBlock(nn.Module):
         # this tensor instead of re-running the attention branch
         from jax.ad_checkpoint import checkpoint_name
         y = checkpoint_name(y, "attn_out")
-        y = self._norm("norm1")(y).astype(x.dtype)
-        x = x + DropPath(name="drop_path1")(y, drop_path_rate, deterministic)
+        x = self._ln_branch("norm1", "drop_path1", y, x, drop_path_rate, deterministic)
         x = checkpoint_name(x, "block_mid")
 
         # ---- MLP branch ----
@@ -615,8 +688,7 @@ class SwinBlock(nn.Module):
             name="mlp",
         )(x, deterministic=deterministic)
         y = checkpoint_name(y, "mlp_out")
-        y = self._norm("norm2")(y).astype(x.dtype)
-        x = x + DropPath(name="drop_path2")(y, drop_path_rate, deterministic)
+        x = self._ln_branch("norm2", "drop_path2", y, x, drop_path_rate, deterministic)
         return x
 
 
@@ -641,6 +713,7 @@ class BlockPair(nn.Module):
     attn_impl: str
     deterministic: bool
     mlp_impl: Optional[str] = None
+    lnadd_impl: Optional[str] = None
     spatial_shards: int = 1
     spatial_axis: str = "model"
 
@@ -661,6 +734,7 @@ class BlockPair(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             mlp_impl=self.mlp_impl,
+            lnadd_impl=self.lnadd_impl,
             deterministic=self.deterministic,
             spatial_shards=self.spatial_shards,
             spatial_axis=self.spatial_axis,
@@ -754,6 +828,11 @@ class SwinTransformerV2(nn.Module):
     # residuals bypass remat's save-dedup, and the duplicated per-step MLP
     # inputs push the 2-step flagship past a v5e's 16 GB HBM.
     mlp_impl: Optional[str] = None
+    # post-norm residual branch: None -> module default (SWIN_LNADD_IMPL).
+    # Same multi-step memory caveat as mlp_impl: the fused op saves its LN
+    # input as a custom_vjp residual that remat cannot discard, so
+    # get_model gates it to 'xla' when n_future > 0.
+    lnadd_impl: Optional[str] = None
     # spatial sharding over the mesh's `model` axis: when > 1, __call__ runs
     # inside shard_map on a LOCAL H slice [B, C, H/shards, W]; shifted-block
     # rolls halo-exchange over ICI (parallel/spatial.py) and the pole mask
@@ -792,15 +871,24 @@ class SwinTransformerV2(nn.Module):
         footprint returns to the unfused layout).
         """
         fused_mlp = (self.mlp_impl or MLP_IMPL) == "fused"
+        # with the fused LN+drop-path+add branch, the LN inputs (attn_out =
+        # z of norm1, mlp_out = z of norm2) are custom_vjp residuals that
+        # remat cannot discard — the named saves would double-store them
+        fused_ln = (
+            (self.lnadd_impl or LNADD_IMPL) == "fused" and self.embed_dim % 128 == 0
+        )
 
         def names(*ns):
-            keep = [n for n in ns if not (fused_mlp and n == "block_mid")]
+            drop = {"block_mid"} if fused_mlp else set()
+            if fused_ln:
+                drop |= {"attn_out", "mlp_out"}
+            keep = [n for n in ns if n not in drop]
             return jax.checkpoint_policies.save_only_these_names(*keep)
 
         if self.remat_policy == "attn":
             # trade ~100 MB/block of HBM for skipping the attention
             # branch's forward recompute during backward
-            return jax.checkpoint_policies.save_only_these_names("attn_out")
+            return names("attn_out")
         if self.remat_policy == "mlp":
             # min-recompute policy: save exactly the four ~100 MB
             # tensors per block whose absence forces expensive
@@ -897,6 +985,7 @@ class SwinTransformerV2(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             mlp_impl=self.mlp_impl,
+            lnadd_impl=self.lnadd_impl,
             deterministic=deterministic,
             spatial_shards=n_sp,
             spatial_axis=self.spatial_axis,
@@ -940,6 +1029,7 @@ class SwinTransformerV2(nn.Module):
                     dtype=self.dtype,
                     attn_impl=self.attn_impl,
                     mlp_impl=self.mlp_impl,
+                    lnadd_impl=self.lnadd_impl,
                     deterministic=deterministic,
                     spatial_shards=n_sp,
                     spatial_axis=self.spatial_axis,
@@ -1039,6 +1129,19 @@ def build_swin_from_params(params, dtype=None) -> SwinTransformerV2:
             str(params["mlp_impl"]) if "mlp_impl" in params
             else (
                 "plain"
+                if int(getattr(params, "n_future", 0) or 0) > 0
+                or int(params.depth) > 12
+                else None
+            )
+        ),
+        # same gating for the fused LN+drop-path+add branch: its custom_vjp
+        # residuals (the two LN inputs per block) likewise bypass remat's
+        # save-dedup, so multi-step rollouts and deep stacks stay unfused
+        # unless the config says otherwise.
+        lnadd_impl=(
+            str(params["lnadd_impl"]) if "lnadd_impl" in params
+            else (
+                "xla"
                 if int(getattr(params, "n_future", 0) or 0) > 0
                 or int(params.depth) > 12
                 else None

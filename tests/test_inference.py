@@ -149,3 +149,45 @@ class TestScoring:
         assert out["acc"].shape == (3, 4)
         np.testing.assert_array_equal(out["lead_hours"], [6, 12, 18])
         assert np.isfinite(out["rmse"]).all()
+
+
+class TestServingExport:
+    def test_stablehlo_roundtrip_matches_engine(self, tmp_path):
+        """export_stepper -> load_stepper reproduces the live engine step
+        bit-for-bit, with weights baked into the artifact (no model code or
+        checkpoint needed at serving time)."""
+        from swin_v2_weather_tpu.inference.export import export_stepper, load_stepper
+
+        p, exp_dir = trained_exp(tmp_path)
+        reg = export_model(exp_dir, str(tmp_path / "registry"))
+        model, variables, rp = load_model(reg)
+        engine = RolloutEngine(rp, model, variables)
+
+        art = str(tmp_path / "served")
+        manifest = export_stepper(engine, art, batch=2)
+        assert os.path.exists(os.path.join(art, "stepper.bin"))
+        assert manifest["inputs"][0]["shape"] == [2, 4, 24, 48]
+        assert manifest["add_zenith"] is True
+
+        stepper = load_stepper(art)
+        rng = np.random.default_rng(3)
+        state = rng.standard_normal((2, 4, 24, 48)).astype(np.float32)
+        t0 = datetime.datetime(2018, 6, 1, 12)
+        zen = np.broadcast_to(engine.zenith_at(t0), (2, 1, 24, 48)).astype(np.float32)
+
+        got = np.asarray(stepper(state, zen))
+        want = np.asarray(engine._step(variables, jnp.asarray(state), jnp.asarray(zen)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_artifact_requires_zenith_when_exported_with_it(self, tmp_path):
+        from swin_v2_weather_tpu.inference.export import export_stepper, load_stepper
+
+        p, exp_dir = trained_exp(tmp_path)
+        reg = export_model(exp_dir, str(tmp_path / "registry"))
+        model, variables, rp = load_model(reg)
+        engine = RolloutEngine(rp, model, variables)
+        art = str(tmp_path / "served")
+        export_stepper(engine, art, batch=1)
+        stepper = load_stepper(art)
+        with pytest.raises(ValueError, match="zenith"):
+            stepper(np.zeros((1, 4, 24, 48), np.float32))

@@ -82,6 +82,24 @@ def main():
     for name, v in totals.most_common(args.top):
         print(f"{v / args.iters:10.3f} ms  x{counts[name]:<5d} {name[:110]}")
 
+    # family rollup: strip trailing .N instance suffixes so the hundreds of
+    # fusion.N / attn.N instances aggregate into rankable buckets — this is
+    # the table that ranks step-time levers (a whole-step program has too
+    # many instances for the per-op list to show structure)
+    import re
+
+    fam_totals = collections.Counter()
+    fam_counts = collections.Counter()
+    for name, v in totals.items():
+        if name.startswith("jit_"):
+            continue
+        fam = re.sub(r"\.\d+$", "", name)
+        fam_totals[fam] += v
+        fam_counts[fam] += counts[name]
+    print(f"\n== op families (ms per {args.iters} iter(s)) ==")
+    for fam, v in fam_totals.most_common(30):
+        print(f"{v / args.iters:10.3f} ms  x{fam_counts[fam]:<6d} {fam[:110]}")
+
 
 if __name__ == "__main__":
     main()

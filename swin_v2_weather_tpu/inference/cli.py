@@ -11,6 +11,10 @@ Usage:
         --registry registry/swin_73var \
         --data /data/era5/out_of_sample \
         --ics 0 100 200 --steps 56 --output scores.json
+
+    # AOT serving artifact (StableHLO, weights baked in; inference/export.py)
+    python -m swin_v2_weather_tpu.inference.cli \
+        --registry registry/swin_73var --export-stepper served/ --batch 1
 """
 
 from __future__ import annotations
@@ -99,12 +103,40 @@ def main():
     config_logger()
     parser = argparse.ArgumentParser(description="rollout + scoring")
     parser.add_argument("--registry", required=True, help="model registry directory")
-    parser.add_argument("--data", required=True, help="ERA5 HDF5 archive directory")
+    parser.add_argument("--data", help="ERA5 HDF5 archive directory")
     parser.add_argument("--ics", type=int, nargs="+", default=[0], help="IC sample indices")
     parser.add_argument("--steps", type=int, default=56, help="rollout steps (6h each)")
     parser.add_argument("--output", default="scores.json")
+    parser.add_argument(
+        "--export-stepper", metavar="DIR",
+        help="write the AOT serving artifact (StableHLO stepper + manifest) "
+        "instead of scoring",
+    )
+    parser.add_argument("--batch", type=int, default=1, help="serving batch size")
+    parser.add_argument(
+        "--platforms", nargs="+", default=None,
+        help="lowering platforms for --export-stepper (e.g. tpu cpu)",
+    )
     args = parser.parse_args()
 
+    if args.export_stepper:
+        from swin_v2_weather_tpu.inference.export import export_stepper
+        from swin_v2_weather_tpu.inference.registry import load_model
+        from swin_v2_weather_tpu.inference.rollout import RolloutEngine
+
+        model, variables, params = load_model(args.registry)
+        engine = RolloutEngine(params, model, variables)
+        manifest = export_stepper(
+            engine, args.export_stepper, batch=args.batch, platforms=args.platforms
+        )
+        logging.info(
+            "wrote %s (%d bytes, platforms %s)", args.export_stepper,
+            manifest["artifact_bytes"], manifest["platforms"],
+        )
+        return
+
+    if not args.data:
+        parser.error("--data is required for scoring runs")
     out = run(args)
     with open(args.output, "w") as f:
         json.dump(out, f, indent=2)

@@ -109,3 +109,29 @@ class TestInferenceCli:
         _, tar, _, _ = ds[3]
         frame = ds.read_output_frame(year_idx, local + 1)
         np.testing.assert_allclose(frame, tar, rtol=1e-6)
+
+    def test_export_stepper_flag(self, registry_and_data, tmp_path, monkeypatch):
+        """--export-stepper writes the serving artifact and skips scoring
+        (no --data needed)."""
+        import sys
+
+        from swin_v2_weather_tpu.inference.cli import main as cli_main
+
+        reg, data, root = registry_and_data
+        art = str(tmp_path / "served")
+        monkeypatch.setattr(
+            sys, "argv",
+            ["cli", "--registry", reg, "--export-stepper", art, "--batch", "1"],
+        )
+        cli_main()
+        assert os.path.exists(os.path.join(art, "stepper.bin"))
+        manifest = json.load(open(os.path.join(art, "manifest.json")))
+        assert manifest["output"]["shape"] == [1, 4, 24, 48]
+
+        from swin_v2_weather_tpu.inference.export import load_stepper
+
+        stepper = load_stepper(art)
+        out = stepper(
+            np.zeros((1, 4, 24, 48), np.float32), np.zeros((1, 1, 24, 48), np.float32)
+        )
+        assert out.shape == (1, 4, 24, 48)

@@ -14,6 +14,11 @@
 
 set -euo pipefail
 
+# Graceful preemption: the trainer checkpoints at the next step boundary
+# and exits cleanly on SIGTERM/SIGUSR1 (training/preempt.py). Under Slurm,
+# request a warning signal (e.g. `#SBATCH --signal=B:USR1@120`); on GCP,
+# TPU maintenance events deliver SIGTERM to the process automatically.
+
 CONFIG="${1:-swin_73var_geo_depth12_chweight_invar}"
 RUN_NUM="${2:-00}"
 REPO_DIR="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"

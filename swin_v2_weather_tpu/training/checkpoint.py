@@ -27,10 +27,16 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def _save_payload(state, epoch: int, scheduler_state: Optional[dict]) -> dict:
+def _save_payload(
+    state, epoch: int, scheduler_state: Optional[dict], step_in_epoch: int = 0
+) -> dict:
     payload = {
         "iters": state.step,  # device arrays: orbax copies to host itself
         "epoch": np.asarray(epoch),
+        # nonzero only for graceful-preemption saves (training/preempt.py):
+        # how many steps of `epoch` are already applied; resume skips that
+        # many batches of the deterministic epoch order
+        "step_in_epoch": np.asarray(step_in_epoch),
         "params": state.params,
         "opt_state": state.opt_state,
     }
@@ -50,10 +56,16 @@ class CheckpointWriter:
     def __init__(self):
         self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
 
-    def save(self, path: str, state, epoch: int, scheduler_state: Optional[dict] = None) -> None:
+    def save(
+        self, path: str, state, epoch: int,
+        scheduler_state: Optional[dict] = None, step_in_epoch: int = 0,
+    ) -> None:
         self._ckptr.wait_until_finished()
         self._ckptr.save(
-            path, args=ocp.args.PyTreeSave(_save_payload(state, epoch, scheduler_state)),
+            path,
+            args=ocp.args.PyTreeSave(
+                _save_payload(state, epoch, scheduler_state, step_in_epoch)
+            ),
             force=True,
         )
 
@@ -216,7 +228,8 @@ def restore_checkpoint(
 ) -> Dict[str, Any]:
     """Restore a checkpoint into a state template, sharded onto its mesh.
 
-    Returns {'state': TrainState, 'epoch': int[, 'scheduler': dict]}. With
+    Returns {'state': TrainState, 'epoch': int, 'step_in_epoch': int
+    [, 'scheduler': dict]}. With
     ``resuming`` False (the finetune path) only the parameters are loaded;
     the optimizer state and counters keep their freshly-initialized values
     (reference ``train.py:390-393`` gates exactly these fields on
@@ -233,6 +246,7 @@ def restore_checkpoint(
     template = {
         "iters": state.step,
         "epoch": np.asarray(0),
+        "step_in_epoch": np.asarray(0),
         "params": state.params,
         "opt_state": state.opt_state,
     }
@@ -259,6 +273,8 @@ def restore_checkpoint(
         disk_paths = _dict_key_paths(disk_tree)
         if "scheduler" in template and "scheduler" not in disk_paths:
             template.pop("scheduler")  # checkpoint predates scheduler state
+        if "step_in_epoch" not in disk_paths:
+            template.pop("step_in_epoch")  # checkpoint predates preemption saves
 
         live_scan = _is_scan_layout(_dict_key_paths(template["params"]))
         disk_scan = _is_scan_layout(
@@ -276,6 +292,8 @@ def restore_checkpoint(
         if resuming:
             request["iters"] = template["iters"]
             request["epoch"] = template["epoch"]
+            if "step_in_epoch" in template:
+                request["step_in_epoch"] = template["step_in_epoch"]
             request["opt_state"] = (
                 _convert_request_template(template["opt_state"], disk_scan)
                 if convert
@@ -310,6 +328,7 @@ def restore_checkpoint(
             step=jax.numpy.asarray(payload["iters"]), opt_state=payload["opt_state"]
         )
         out["epoch"] = int(payload["epoch"])
+        out["step_in_epoch"] = int(payload.get("step_in_epoch", 0))
         if "scheduler" in payload:
             out["scheduler"] = {k: float(v) for k, v in payload["scheduler"].items()}
     out["state"] = new_state

@@ -74,6 +74,12 @@ class Trainer:
         params["data_num_shards"] = self.process_count
         params["data_shard_id"] = self.process_index
 
+        # graceful-preemption hook (training/preempt.py); train() installs a
+        # signal-backed handler unless one was injected beforehand (tests,
+        # custom schedulers)
+        self.preempt = None
+        self._preempted_at = None
+
     def count_parameters(self) -> int:
         return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.state.params))
 
@@ -201,6 +207,7 @@ class Trainer:
 
         # restore (reference train.py:195-206)
         self.start_epoch = 0
+        self.resume_step_in_epoch = 0
         if params.finetune and not params["resuming"]:
             assert params.pretrained_checkpoint_path is not None, (
                 "error, please specify a valid pretrained checkpoint path"
@@ -220,6 +227,9 @@ class Trainer:
             )
             self.state = restored["state"]
             self.start_epoch = restored["epoch"]
+            # nonzero after a graceful-preemption save: the first resumed
+            # epoch skips the batches that were already applied
+            self.resume_step_in_epoch = int(restored.get("step_in_epoch", 0))
 
         self.epoch = self.start_epoch
         self.scheduler = build_scheduler(params, last_epoch=self.start_epoch - 1)
@@ -278,14 +288,48 @@ class Trainer:
         if self.log_to_screen:
             logger.info("Starting Training Loop...")
 
+        from swin_v2_weather_tpu.training.preempt import PreemptionHandler
+
+        if self.preempt is None:
+            self.preempt = PreemptionHandler().install()
         best_valid_loss = 1.0e6
+        try:
+            self._train_loop(params, best_valid_loss)
+        finally:
+            self.preempt.uninstall()
+
+    def _train_loop(self, params, best_valid_loss):
         for epoch in range(self.start_epoch, int(params.max_epochs)):
             start = time.time()
             self.state = self.state.replace(
                 opt_state=set_learning_rate(self.state.opt_state, self.scheduler.lr)
             )
 
-            tr_time, train_logs = self.train_one_epoch(epoch)
+            skip = self.resume_step_in_epoch if epoch == self.start_epoch else 0
+            tr_time, train_logs = self.train_one_epoch(epoch, skip_steps=skip)
+
+            if self._preempted_at is not None:
+                # graceful preemption (training/preempt.py): persist the
+                # state AT THE STEP BOUNDARY with the intra-epoch position;
+                # the scheduler was not stepped for this incomplete epoch,
+                # so resume re-enters it with the same LR and skips the
+                # consumed batches of the deterministic epoch order
+                if self.ckpt_writer is not None:
+                    self.ckpt_writer.save(
+                        params["checkpoint_path"], self.state, epoch,
+                        self.scheduler.state_dict(),
+                        step_in_epoch=self._preempted_at,
+                    )
+                self.sink.log(
+                    {**train_logs, "preempted_at_step": self._preempted_at},
+                    step=self.epoch,
+                )
+                if self.log_to_screen:
+                    logger.warning(
+                        "preempted at epoch %d step %d: checkpoint saved, "
+                        "exiting cleanly", epoch, self._preempted_at,
+                    )
+                break
             valid_time, valid_logs = self.validate_one_epoch()
 
             self.scheduler.step(valid_logs["valid_loss"])
@@ -322,14 +366,28 @@ class Trainer:
         self.profiler.close()
         self.sink.close()
 
-    def train_one_epoch(self, epoch: int):
+    def train_one_epoch(self, epoch: int, skip_steps: int = 0):
         self.epoch += 1
         self.train_loader.set_epoch(epoch)
         tr_start = time.time()
         losses = []
-        step_rng, self.rng = jax.random.split(self.rng)
+        self._preempted_at = None
+        # epoch rng depends only on (seed, epoch) — restart-invariant, so a
+        # preemption-resumed epoch draws the same per-step dropout keys (the
+        # step rng additionally folds in the restored global step counter)
+        step_rng = jax.random.fold_in(self.rng, epoch)
+        batches = iter(self.train_loader)
+        if skip_steps:
+            # graceful-preemption resume: fast-forward the deterministic
+            # epoch order past the steps the interrupted run already applied
+            import itertools
+
+            batches = itertools.islice(batches, skip_steps, None)
+            if self.log_to_screen:
+                logger.info("resuming epoch %d at step %d", epoch, skip_steps)
+        n_done = skip_steps
         for batch in device_prefetch(
-            iter(self.train_loader), self.mesh,
+            batches, self.mesh,
             depth=int(getattr(self.params, "prefetch_depth", 2)),
             spatial=self._spatial,
         ):
@@ -337,7 +395,11 @@ class Trainer:
             self.profiler.step(self.host_step)
             self.state, metrics = self.train_step(self.state, batch, step_rng)
             self.host_step += 1
+            n_done += 1
             losses.append(metrics)  # device arrays; fetched lazily below
+            if self.preempt is not None and self.preempt.triggered:
+                self._preempted_at = n_done
+                break
         # one host sync per epoch (device_get batches the transfers)
         fetched = jax.device_get(losses)
         loss_arr = np.asarray([m["loss"] for m in fetched], np.float64)

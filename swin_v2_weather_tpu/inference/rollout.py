@@ -170,7 +170,21 @@ class RolloutEngine:
         key = (b, keep_t)
         if key not in self._scan_cache:
             self._scan_cache[key] = self._build_scan(b, keep_t)
-        return self._scan_cache[key](self.variables, state, zstack)
+        _, outs = self._scan_cache[key](self.variables, state, zstack)
+        return outs
+
+    def rollout_chunk(self, state: jnp.ndarray, zstack) -> tuple:
+        """One compiled scan over ``len(zstack)`` steps, returning
+        ``(final_state, preds[T, B, C_out, H, W])`` — the building block for
+        chunked whole-trajectory scoring (a 56-step 73-channel full-res
+        trajectory does not fit HBM in one piece; K-step chunks carry the
+        state across compiled programs at one dispatch per K steps)."""
+        state = jnp.asarray(state, jnp.float32)
+        b = state.shape[0]
+        key = (b, None)
+        if key not in self._scan_cache:
+            self._scan_cache[key] = self._build_scan(b, None)
+        return self._scan_cache[key](self.variables, state, jnp.asarray(zstack))
 
     def _build_scan(self, b: int, keep_t):
         assemble = self._assemble
@@ -185,7 +199,6 @@ class RolloutEngine:
                 out = nxt if keep is None else nxt[:, keep]
                 return nxt, out
 
-            _, outs = jax.lax.scan(body, state, zstack)
-            return outs
+            return jax.lax.scan(body, state, zstack)
 
         return run

@@ -49,11 +49,21 @@ def score_rollout(
     stds: np.ndarray,
     climatology: Optional[np.ndarray] = None,  # [C_out, H, W] physical units
     channel_names: Optional[Sequence[str]] = None,
+    scanned: bool = False,
+    chunk: int = 8,
 ) -> Dict[str, np.ndarray]:
     """Run a rollout and score each lead time against targets.
 
     Returns {'rmse': [T, C], 'acc': [T, C], 'lead_hours': [T]} (acc only if
     climatology given). Targets are streamed — one step on device at a time.
+
+    ``scanned=True`` is the throughput path: ``chunk``-step ``lax.scan``
+    programs with the state carried across chunks — one dispatch (and one
+    host round-trip) per ``chunk`` lead times instead of per step, with the
+    per-step zenith stack precomputed host-side. Same math, same results;
+    measured 1.5-2.4x faster per IC than the host-stepped loop
+    (ROLLOUT_r03.json). Device memory holds one chunk of predictions, so
+    any trajectory length fits.
     """
     means = np.asarray(means, np.float32).reshape(1, -1, 1, 1)
     stds = np.asarray(stds, np.float32).reshape(1, -1, 1, 1)
@@ -65,17 +75,37 @@ def score_rollout(
 
     rmses, accs = [], []
     denorm = jax.jit(lambda x: x * jnp.asarray(stds) + jnp.asarray(means))
-    targets_it = iter(targets)
-    for pred in engine.steps(initial_state, start_time, n_steps=len(targets)):
-        tar = jnp.asarray(np.asarray(next(targets_it), np.float32))
+
+    def score_one(pred, tar):
         pred_phys = denorm(pred)
-        tar_phys = denorm(tar)
+        tar_phys = denorm(jnp.asarray(np.asarray(tar, np.float32)))
         if clim is not None:
             rmse, acc = _score_step(pred_phys, tar_phys, clim)
             accs.append(np.asarray(acc))
         else:
             rmse = weighted_rmse(pred_phys, tar_phys)
         rmses.append(np.asarray(rmse))
+
+    if scanned:
+        import datetime
+
+        state = jnp.asarray(initial_state, jnp.float32)
+        when, n_steps, done = start_time, len(targets), 0
+        while done < n_steps:
+            k = min(int(chunk), n_steps - done)
+            if engine.add_zenith:
+                zstack = engine.zenith_stack(when, k)
+                when = when + datetime.timedelta(hours=k * engine.hours_per_step)
+            else:
+                zstack = np.zeros((k, 1, 1, engine.h, engine.w), np.float32)
+            state, preds = engine.rollout_chunk(state, zstack)
+            for s in range(k):
+                score_one(preds[s], targets[done + s])
+            done += k
+    else:
+        targets_it = iter(targets)
+        for pred in engine.steps(initial_state, start_time, n_steps=len(targets)):
+            score_one(pred, next(targets_it))
 
     out: Dict[str, np.ndarray] = {
         "rmse": np.stack(rmses),

@@ -191,3 +191,30 @@ class TestServingExport:
         stepper = load_stepper(art)
         with pytest.raises(ValueError, match="zenith"):
             stepper(np.zeros((1, 4, 24, 48), np.float32))
+
+
+class TestScannedScoring:
+    def test_scanned_matches_host_stepped(self, tmp_path):
+        """score_rollout(scanned=True) — chunked lax.scan with carried state,
+        including a ragged tail chunk — reproduces the host-stepped scores."""
+        p, exp_dir = trained_exp(tmp_path)
+        reg = export_model(exp_dir, str(tmp_path / "registry"))
+        model, variables, rp = load_model(reg)
+        engine = RolloutEngine(rp, model, variables)
+
+        rng = np.random.default_rng(5)
+        ic = rng.standard_normal((1, 4, 24, 48)).astype(np.float32)
+        tars = [rng.standard_normal((1, 4, 24, 48)).astype(np.float32) for _ in range(5)]
+        t0 = datetime.datetime(2018, 3, 1)
+        means = np.zeros((4, 1, 1), np.float32)
+        stds = np.ones((4, 1, 1), np.float32)
+        clim = np.zeros((4, 24, 48), np.float32)
+
+        host = score_rollout(engine, ic, tars, t0, means=means, stds=stds, climatology=clim)
+        scan = score_rollout(
+            engine, ic, tars, t0, means=means, stds=stds, climatology=clim,
+            scanned=True, chunk=2,  # 5 steps -> chunks of 2, 2, 1 (ragged tail)
+        )
+        np.testing.assert_allclose(scan["rmse"], host["rmse"], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(scan["acc"], host["acc"], rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(scan["lead_hours"], host["lead_hours"])

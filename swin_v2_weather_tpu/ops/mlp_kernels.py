@@ -44,6 +44,17 @@ _INV_SQRT2PI = 1.0 / math.sqrt(2.0 * math.pi)
 # DMA/compute overlap opportunity, bigger = fewer per-step overheads).
 MLP_TM = int(_os.environ.get("SWIN_MLP_TM", "648"))
 
+# defvjp(optimize_remat=...): when '1', jax makes the custom_vjp residuals
+# rematerializable (replaying the residual-producing forward under remat).
+# MEASURED A NO-OP for this op: the single-step program compiles
+# bit-identically (compile-cache hit, same 14.32G/416 ms) and the 2-step
+# fused rollout still OOMs at 20.37G — the multi-step memory caveat is the
+# fwd kernel's PRIMAL outputs (the [tokens, hidden] gelu slabs) staying
+# live as HLO temps, which XLA's rematerializer does not reclaim for
+# opaque tpu_custom_calls; the residuals (x, w, b) were never the problem.
+# Kept as an A/B knob, default off.
+MLP_OPT_REMAT = _os.environ.get("SWIN_MLP_OPT_REMAT", "0") == "1"
+
 
 def _pick_tile(tokens: int, target: int = None) -> int:
     """Largest multiple-of-8 divisor of ``tokens`` at or below ``target``."""
@@ -258,7 +269,7 @@ def _build(interpret_key):
             db.astype(b.dtype),
         )
 
-    fused.defvjp(f_fwd, f_bwd)
+    fused.defvjp(f_fwd, f_bwd, optimize_remat=MLP_OPT_REMAT)
     return fused
 
 

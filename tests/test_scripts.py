@@ -92,3 +92,27 @@ class TestTrainCliOverrides:
         monkeypatch.setattr(sys, "argv", ["train.py", "--set", "novalue"])
         with pytest.raises(SystemExit):
             train_mod.main()
+
+    def test_enable_amp_flag_forces_bf16(self, monkeypatch):
+        """--enable_amp (reference train.py:400 compat): forces bf16 compute
+        even when a --set override asked for fp32."""
+        import train as train_mod
+
+        captured = {}
+
+        class FakeTrainer:
+            def __init__(self, params, config, run_num="00", sweep_id=None):
+                captured["params"] = params
+                self.is_chief = True
+
+            def build_and_launch(self):
+                pass
+
+        monkeypatch.setattr(train_mod, "Trainer", FakeTrainer)
+        monkeypatch.setattr(
+            sys, "argv",
+            ["train.py", "--config=swin_micro_test", "--enable_amp",
+             "--set", "compute_dtype=float32"],
+        )
+        train_mod.main()
+        assert captured["params"]["compute_dtype"] == "bfloat16"

@@ -27,6 +27,12 @@ def main():
     parser.add_argument("--config", default="swin_73var_geo_depth12_chweight_invar", type=str)
     parser.add_argument("--sweep_id", default=None, type=str)
     parser.add_argument(
+        "--enable_amp", action="store_true",
+        help="reference-CLI compat (reference train.py:400): mixed precision "
+        "on TPU means bf16 compute, which is already the default — this flag "
+        "forces it if a config overrode compute_dtype",
+    )
+    parser.add_argument(
         "--set", action="append", default=[], metavar="KEY=VALUE",
         help="override a config value (yaml-parsed; repeatable), e.g. "
         "--set batch_size=8 --set attn_impl=pallas_qkv",
@@ -41,6 +47,8 @@ def main():
         import yaml as _yaml
 
         params[key] = _yaml.safe_load(value)
+    if args.enable_amp:
+        params["compute_dtype"] = "bfloat16"
     trainer = Trainer(params, args.config, run_num=args.run_num, sweep_id=args.sweep_id)
 
     if args.sweep_id and trainer.is_chief:

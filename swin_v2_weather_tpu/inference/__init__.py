@@ -9,8 +9,18 @@ from swin_v2_weather_tpu.inference.scoring import (
     acc_against_climatology,
     score_rollout,
 )
+from swin_v2_weather_tpu.inference.ensemble import (
+    breed_perturbations,
+    gaussian_perturbations,
+    make_members,
+    score_ensemble,
+)
 
 __all__ = [
+    "breed_perturbations",
+    "gaussian_perturbations",
+    "make_members",
+    "score_ensemble",
     "RolloutEngine",
     "export_stepper",
     "load_stepper",

@@ -12,6 +12,12 @@ Usage:
         --data /data/era5/out_of_sample \
         --ics 0 100 200 --steps 56 --scanned --output scores.json
 
+    # probabilistic ensemble scoring (CRPS/spread/ensemble-mean skill;
+    # inference/ensemble.py)
+    python -m swin_v2_weather_tpu.inference.cli \
+        --registry registry/swin_73var --data /data/era5/out_of_sample \
+        --ics 0 100 --steps 56 --ensemble 9 --perturb bred --amplitude 0.05
+
     # AOT serving artifact (StableHLO, weights baked in; inference/export.py)
     python -m swin_v2_weather_tpu.inference.cli \
         --registry registry/swin_73var --export-stepper served/ --batch 1
@@ -68,12 +74,49 @@ def run(args) -> dict:
             dataset.read_output_frame(year_idx, local_idx + dataset.dt * (s + 1))[None]
             for s in range(steps)
         ]
-        scores = score_rollout(
-            engine, ic, tars, start, means=means, stds=stds,
-            climatology=time_means, channel_names=list(params["channel_names"]),
-            scanned=getattr(args, "scanned", False),
-            chunk=int(getattr(args, "chunk_steps", 8)),
-        )
+        n_members = int(getattr(args, "ensemble", 0) or 0)
+        if n_members > 1:
+            import jax
+
+            from swin_v2_weather_tpu.inference.ensemble import (
+                breed_perturbations,
+                gaussian_perturbations,
+                make_members,
+                score_ensemble,
+            )
+
+            n_pairs = (n_members - 1 + 1) // 2
+            shape = ic.shape[-3:]
+            amplitude = float(getattr(args, "amplitude", 0.05))
+            trunc = getattr(args, "zonal_truncation", 20)
+            if getattr(args, "perturb", "gaussian") == "bred":
+                pert = breed_perturbations(
+                    engine, ic, start, n_pairs, amplitude,
+                    cycles=int(getattr(args, "breed_cycles", 3)),
+                    seed=int(getattr(args, "seed", 0)), zonal_truncation=trunc,
+                )
+            else:
+                pert = gaussian_perturbations(
+                    jax.random.PRNGKey(int(getattr(args, "seed", 0))),
+                    n_pairs, shape, amplitude, zonal_truncation=trunc,
+                )
+            members = make_members(ic, pert, n_members)
+            scores = score_ensemble(
+                engine, members, tars, start, means=means, stds=stds,
+                climatology=time_means,
+                channel_names=list(params["channel_names"]),
+                chunk=int(getattr(args, "chunk_steps", 8)),
+            )
+            scores["rmse"] = scores["rmse_mean"]  # skill-curve aggregation below
+            if "acc_mean" in scores:
+                scores["acc"] = scores["acc_mean"]
+        else:
+            scores = score_rollout(
+                engine, ic, tars, start, means=means, stds=stds,
+                climatology=time_means, channel_names=list(params["channel_names"]),
+                scanned=getattr(args, "scanned", False),
+                chunk=int(getattr(args, "chunk_steps", 8)),
+            )
         scores["ic_index"] = int(ic_idx)
         scores["start_time"] = start.isoformat()
         all_scores.append(scores)
@@ -94,8 +137,11 @@ def run(args) -> dict:
             {"index": s["ic_index"], "start_time": s["start_time"]} for s in all_scores
         ],
     }
-    if "acc" in all_scores[0]:
-        out["acc"] = np.mean([s["acc"][:t_min] for s in all_scores], axis=0).tolist()
+    for key in ("acc", "crps", "spread", "rmse_control"):
+        if key in all_scores[0]:
+            out[key] = np.mean([s[key][:t_min] for s in all_scores], axis=0).tolist()
+    if "n_members" in all_scores[0]:
+        out["n_members"] = int(all_scores[0]["n_members"])
     return out
 
 
@@ -114,6 +160,26 @@ def main():
         "times; measured 1.5-2.4x faster per IC than host-stepping)",
     )
     parser.add_argument("--chunk-steps", type=int, default=8, dest="chunk_steps")
+    parser.add_argument(
+        "--ensemble", type=int, default=0, metavar="M",
+        help="ensemble forecast with M members (control + centered +/- "
+        "perturbation pairs); scores CRPS/spread/ensemble-mean skill on "
+        "device (inference/ensemble.py)",
+    )
+    parser.add_argument(
+        "--perturb", choices=("gaussian", "bred"), default="gaussian",
+        help="IC perturbation strategy for --ensemble",
+    )
+    parser.add_argument(
+        "--amplitude", type=float, default=0.05,
+        help="perturbation lat-weighted RMS amplitude (normalized units)",
+    )
+    parser.add_argument("--breed-cycles", type=int, default=3, dest="breed_cycles")
+    parser.add_argument(
+        "--zonal-truncation", type=int, default=20, dest="zonal_truncation",
+        help="low-pass perturbations to zonal wavenumbers <= K",
+    )
+    parser.add_argument("--seed", type=int, default=0, help="perturbation seed")
     parser.add_argument("--output", default="scores.json")
     parser.add_argument(
         "--export-stepper", metavar="DIR",

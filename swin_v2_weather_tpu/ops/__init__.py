@@ -12,6 +12,10 @@ from swin_v2_weather_tpu.ops.metrics import (
     weighted_acc_channels,
     unweighted_acc_channels,
     top_quantiles_error,
+    weighted_crps,
+    weighted_crps_channels,
+    ensemble_spread,
+    ensemble_spread_channels,
 )
 from swin_v2_weather_tpu.ops.zenith import cos_zenith_angle
 from swin_v2_weather_tpu.ops.losses import LossHandler, auto_channel_weights
@@ -32,6 +36,10 @@ __all__ = [
     "weighted_acc_channels",
     "unweighted_acc_channels",
     "top_quantiles_error",
+    "weighted_crps",
+    "weighted_crps_channels",
+    "ensemble_spread",
+    "ensemble_spread_channels",
     "cos_zenith_angle",
     "LossHandler",
     "auto_channel_weights",

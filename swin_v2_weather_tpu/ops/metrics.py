@@ -107,6 +107,92 @@ def top_quantiles_error(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# probabilistic (ensemble) verification — beyond the reference, which scores
+# deterministic forecasts only (its ensemble role lives in the external
+# Earth2MIP fork, reference README.md:77-78). Used by inference/ensemble.py.
+# ---------------------------------------------------------------------------
+
+
+def weighted_crps_channels(
+    ensemble: jnp.ndarray, target: jnp.ndarray, fair: bool = True
+) -> jnp.ndarray:
+    """[M, N, C, H, W] ensemble + [N, C, H, W] target -> [N, C] CRPS.
+
+    Pointwise continuous ranked probability score of the empirical ensemble
+    distribution, then latitude-weighted spatial mean (same 3.1416-pi weights
+    as the deterministic metrics):
+
+        CRPS = E|X - y| - 1/2 E|X - X'|
+
+    The dispersion term uses the sorted-member identity
+    ``sum_{m<m'} (x_(m') - x_(m)) = sum_i (2i - M + 1) x_(i)`` — O(M log M)
+    instead of the O(M^2) pairwise form, so it stays cheap on device for
+    full-resolution fields. ``fair=True`` divides by M*(M-1) (the
+    finite-ensemble-unbiased estimator, Ferro 2014); ``fair=False`` divides
+    by M^2 (the classic PWM estimator). A single-member ensemble degrades to
+    the latitude-weighted MAE under both.
+    """
+    m = ensemble.shape[0]
+    num_lat = ensemble.shape[-2]
+    weight = latitude_weights(num_lat, dtype=ensemble.dtype).reshape(1, 1, -1, 1)
+    mae = jnp.mean(jnp.abs(ensemble - target[None]), axis=0)  # [N, C, H, W]
+    if m > 1:
+        srt = jnp.sort(ensemble, axis=0)
+        coef = (2.0 * jnp.arange(m, dtype=ensemble.dtype) - m + 1).reshape(
+            (m,) + (1,) * (ensemble.ndim - 1)
+        )
+        denom = m * (m - 1) if fair else m * m
+        disp = jnp.sum(coef * srt, axis=0) / denom  # = E|X - X'| / 2
+        pointwise = mae - disp
+    else:
+        pointwise = mae
+    return jnp.mean(weight * pointwise, axis=(-1, -2))
+
+
+def weighted_crps(ensemble: jnp.ndarray, target: jnp.ndarray, fair: bool = True) -> jnp.ndarray:
+    """[M, N, C, H, W] + [N, C, H, W] -> [C]: CRPS averaged over the batch."""
+    return jnp.mean(weighted_crps_channels(ensemble, target, fair=fair), axis=0)
+
+
+def ensemble_spread_channels(ensemble: jnp.ndarray) -> jnp.ndarray:
+    """[M, N, C, H, W] -> [N, C] spread = sqrt(lat-weighted mean member variance).
+
+    Member variance uses ddof=1 (the unbiased estimator customary in
+    spread-error diagnostics, where spread should match the RMSE of the
+    ensemble mean for a reliable ensemble).
+    """
+    m = ensemble.shape[0]
+    num_lat = ensemble.shape[-2]
+    weight = latitude_weights(num_lat, dtype=ensemble.dtype).reshape(1, 1, -1, 1)
+    var = jnp.var(ensemble, axis=0, ddof=1) if m > 1 else jnp.zeros(ensemble.shape[1:], ensemble.dtype)
+    return jnp.sqrt(jnp.mean(weight * var, axis=(-1, -2)))
+
+
+def ensemble_spread(ensemble: jnp.ndarray) -> jnp.ndarray:
+    """[M, N, C, H, W] -> [C]: spread averaged over the batch."""
+    return jnp.mean(ensemble_spread_channels(ensemble), axis=0)
+
+
+def weighted_crps_np(ensemble: np.ndarray, target: np.ndarray, fair: bool = True) -> np.ndarray:
+    """fp64 brute-force pairwise oracle of ``weighted_crps`` ([M,N,C,H,W] -> [C])."""
+    ensemble = np.asarray(ensemble, np.float64)
+    target = np.asarray(target, np.float64)
+    m = ensemble.shape[0]
+    num_lat = ensemble.shape[-2]
+    j = np.arange(num_lat, dtype=np.float64)
+    coslat = np.cos(_TORCH_PI / 180.0 * lat_np(j, num_lat))
+    weight = (num_lat * coslat / coslat.sum()).reshape(1, 1, -1, 1)
+    mae = np.mean(np.abs(ensemble - target[None]), axis=0)
+    disp = np.zeros_like(mae)
+    if m > 1:
+        for a in range(m):
+            for b in range(m):
+                disp += np.abs(ensemble[a] - ensemble[b])
+        disp /= 2.0 * (m * (m - 1) if fair else m * m)
+    return np.mean(np.mean(weight * (mae - disp), axis=(-1, -2)), axis=0)
+
+
+# ---------------------------------------------------------------------------
 # numpy oracles (reference utils/weighted_acc_rmse.py:7-47) — used by tests
 # and offline scoring scripts; true-pi variants.
 # ---------------------------------------------------------------------------

@@ -110,6 +110,39 @@ class TestInferenceCli:
         frame = ds.read_output_frame(year_idx, local + 1)
         np.testing.assert_allclose(frame, tar, rtol=1e-6)
 
+    def test_ensemble_flag_scores_crps_and_spread(self, registry_and_data, tmp_path):
+        """--ensemble M runs the probabilistically scored ensemble rollout:
+        skill curves carry CRPS/spread next to ensemble-mean RMSE/ACC."""
+        from swin_v2_weather_tpu.inference.cli import run as cli_run
+
+        reg, data, root = registry_and_data
+        args = argparse.Namespace(
+            registry=reg, data=data, ics=[2], steps=3,
+            output=str(tmp_path / "e.json"), ensemble=5, perturb="gaussian",
+            amplitude=0.05, zonal_truncation=8, seed=0, chunk_steps=2,
+        )
+        out = cli_run(args)
+        assert out["n_members"] == 5
+        for key in ("rmse", "acc", "crps", "spread", "rmse_control"):
+            arr = np.asarray(out[key])
+            assert arr.shape == (3, 4), key
+            assert np.isfinite(arr).all(), key
+        assert (np.asarray(out["spread"]) > 0).all()
+
+    def test_ensemble_bred_flag(self, registry_and_data, tmp_path):
+        from swin_v2_weather_tpu.inference.cli import run as cli_run
+
+        reg, data, root = registry_and_data
+        args = argparse.Namespace(
+            registry=reg, data=data, ics=[2], steps=2,
+            output=str(tmp_path / "b.json"), ensemble=3, perturb="bred",
+            amplitude=0.05, breed_cycles=2, zonal_truncation=8, seed=0,
+            chunk_steps=4,
+        )
+        out = cli_run(args)
+        assert out["n_members"] == 3
+        assert np.isfinite(np.asarray(out["crps"])).all()
+
     def test_export_stepper_flag(self, registry_and_data, tmp_path, monkeypatch):
         """--export-stepper writes the serving artifact and skips scoring
         (no --data needed)."""

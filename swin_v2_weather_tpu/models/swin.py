@@ -290,10 +290,14 @@ class DropPathMask(nn.Module):
 # NOTE: under 'fused' the pre-activation never materializes, so the
 # remat_policy='mlp_fc1' named save has nothing to save (that policy
 # measured worse than 'mlp3' anyway and is kept for A/B only).
+# 'fused2' fuses the WHOLE MLP (fc1+GELU+fc2) into one kernel pair — the
+# [T, hidden] gelu slab never exists in HBM (ops/mlp_kernels.py fused_mlp);
+# requires drop[0] == 0 (true for every reference config), else falls back
+# to 'fused' for that module.
 MLP_IMPL = _os.environ.get("SWIN_MLP_IMPL", "fused")
-if MLP_IMPL not in ("fused", "plain"):
+if MLP_IMPL not in ("fused", "fused2", "plain"):
     raise ValueError(
-        f"SWIN_MLP_IMPL={MLP_IMPL!r} invalid; expected 'fused' or 'plain'"
+        f"SWIN_MLP_IMPL={MLP_IMPL!r} invalid; expected 'fused', 'fused2' or 'plain'"
     )
 
 _GELU_EXACT = partial(jax.nn.gelu, approximate=False)
@@ -329,7 +333,21 @@ class Mlp(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         from jax.ad_checkpoint import checkpoint_name
 
-        if (self.impl or MLP_IMPL) == "fused" and self.act is _GELU_EXACT:
+        impl = self.impl or MLP_IMPL
+        if impl == "fused2" and self.act is _GELU_EXACT and self.drop[0] == 0.0:
+            from swin_v2_weather_tpu.ops.mlp_kernels import fused_mlp
+
+            k1, b1 = DenseParams(
+                features=self.hidden_features, in_features=self.in_features,
+                name="fc1",
+            )()
+            k2, b2 = DenseParams(
+                features=self.out_features, in_features=self.hidden_features,
+                name="fc2",
+            )()
+            x = fused_mlp(x.astype(self.dtype or x.dtype), k1, b1, k2, b2)
+            return nn.Dropout(self.drop[1])(x, deterministic=deterministic)
+        if impl in ("fused", "fused2") and self.act is _GELU_EXACT:
             from swin_v2_weather_tpu.ops.mlp_kernels import fused_fc1_gelu
 
             k, b = DenseParams(
@@ -870,7 +888,9 @@ class SwinTransformerV2(nn.Module):
         (measured: depth-24 18.9 GB vs 15.75 capacity; with the drop the
         footprint returns to the unfused layout).
         """
-        fused_mlp = (self.mlp_impl or MLP_IMPL) == "fused"
+        # fused2's residual set includes the same MLP-input tensor, so the
+        # block_mid drop applies to both fused generations
+        fused_mlp = (self.mlp_impl or MLP_IMPL) in ("fused", "fused2")
         # with the fused LN+drop-path+add branch, the LN inputs (attn_out =
         # z of norm1, mlp_out = z of norm2) are custom_vjp residuals that
         # remat cannot discard — the named saves would double-store them

@@ -276,3 +276,187 @@ def _build(interpret_key):
 def fused_fc1_gelu(x, w, b):
     """gelu(x @ w + b) with the Pallas kernel pair; x: [..., C_in]."""
     return _build(not _on_tpu())(x, w, b)
+
+
+# ---------------------------------------------------------------------------
+# Whole-MLP kernel (fc1 + GELU + fc2 in ONE pallas_call): the [T, hidden]
+# gelu slab never exists in HBM. vs the fc1-fused path this removes one
+# 380 MB write + one 380 MB read per forward at flagship shape, and — the
+# structural point — removes the custom_vjp PRIMAL [T, hidden] output whose
+# HLO-temp liveness makes the fc1-fused path OOM on multi-step rollouts
+# (see the ROADMAP fused-MLP memory caveat). The backward recomputes
+# pre/gelu per tile in one kernel that also folds in the fc2 input
+# cotangent, then chains dW1/dW2/dx/db through epilogue-free XLA matmuls —
+# the same 5 matmul-units the fc1-fused backward pays, with the saved `a`
+# read traded for an in-kernel recompute write.
+# ---------------------------------------------------------------------------
+
+
+def _make_mlp_fwd_kernel(compute_dtype):
+    def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+        x = x_ref[...]
+        pre = jax.lax.dot_general(
+            x, w1_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # round exactly where Dense(dtype) rounds in the unfused path
+        pre = (pre + b1_ref[0]).astype(compute_dtype).astype(jnp.float32)
+        a = _gelu_exact(pre).astype(compute_dtype)
+        out = jax.lax.dot_general(
+            a, w2_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # Dense rounds the dot to compute dtype, THEN adds the bias in it
+        o_ref[...] = out.astype(compute_dtype) + b2_ref[0].astype(compute_dtype)
+
+    return kernel
+
+
+def _make_mlp_bwd_kernel(compute_dtype):
+    """Recompute pre/a and produce (a, dpre) in one x/g read per tile:
+    a feeds dW2, dpre feeds dx/dW1/db1 (plain XLA matmuls outside)."""
+
+    def kernel(x_ref, w1_ref, b1_ref, w2_ref, g_ref, a_ref, dpre_ref):
+        x = x_ref[...]
+        pre = jax.lax.dot_general(
+            x, w1_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        pre = (pre + b1_ref[0]).astype(compute_dtype).astype(jnp.float32)
+        a_ref[...] = _gelu_exact(pre).astype(compute_dtype)
+        # da = g @ W2^T (contract the feature dim of both)
+        da = jax.lax.dot_general(
+            g_ref[...], w2_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dpre_ref[...] = (da * _gelu_grad(pre)).astype(compute_dtype)
+
+    return kernel
+
+
+def mlp_fwd_pallas(x2, w1, b1, w2, b2, interpret=None):
+    """gelu(x2 @ w1 + b1) @ w2 + b2: [T, C] -> [T, C_out], one kernel."""
+    t, c_in = x2.shape
+    hidden = w1.shape[-1]
+    c_out = w2.shape[-1]
+    tm = _pick_tile(t)
+    interp = (not _on_tpu()) if interpret is None else interpret
+    return pl.pallas_call(
+        _make_mlp_fwd_kernel(x2.dtype),
+        grid=(t // tm,),
+        in_specs=[
+            pl.BlockSpec((tm, c_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_in, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, c_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, c_out), x2.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * hidden * (c_in + c_out),
+            bytes_accessed=(t * c_in + c_in * hidden + hidden * c_out + t * c_out)
+            * x2.dtype.itemsize,
+            transcendentals=t * hidden,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interp,
+    )(
+        x2,
+        w1.astype(x2.dtype),
+        b1.reshape(1, -1).astype(jnp.float32),
+        w2.astype(x2.dtype),
+        b2.reshape(1, -1).astype(jnp.float32),
+    )
+
+
+def mlp_bwd_pallas(x2, w1, b1, w2, g2, interpret=None):
+    """(a, dpre) for the whole-MLP backward; one fused recompute kernel."""
+    t, c_in = x2.shape
+    hidden = w1.shape[-1]
+    c_out = w2.shape[-1]
+    tm = _pick_tile(t)
+    interp = (not _on_tpu()) if interpret is None else interpret
+    return pl.pallas_call(
+        _make_mlp_bwd_kernel(x2.dtype),
+        grid=(t // tm,),
+        in_specs=[
+            pl.BlockSpec((tm, c_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_in, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, c_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, hidden), x2.dtype),
+            jax.ShapeDtypeStruct((t, hidden), x2.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * hidden * (c_in + c_out),
+            bytes_accessed=(t * c_in + c_in * hidden + hidden * c_out + t * c_out
+                            + 2 * t * hidden) * x2.dtype.itemsize,
+            transcendentals=2 * t * hidden,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interp,
+    )(
+        x2,
+        w1.astype(x2.dtype),
+        b1.reshape(1, -1).astype(jnp.float32),
+        w2.astype(x2.dtype),
+        g2,
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _build_mlp(interpret_key):
+    @jax.custom_vjp
+    def fused(x, w1, b1, w2, b2):
+        x2 = x.reshape(-1, x.shape[-1])
+        return mlp_fwd_pallas(x2, w1, b1, w2, b2).reshape(
+            *x.shape[:-1], w2.shape[-1]
+        )
+
+    def f_fwd(x, w1, b1, w2, b2):
+        return fused(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
+
+    def f_bwd(res, g):
+        x, w1, b1, w2, b2 = res
+        cdt = x.dtype
+        x2 = x.reshape(-1, x.shape[-1])
+        g2 = g.reshape(-1, g.shape[-1]).astype(cdt)
+        a, dpre = mlp_bwd_pallas(x2, w1, b1, w2, g2)
+        dw2 = jax.lax.dot_general(
+            a, g2, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db2 = jnp.sum(g2.astype(jnp.float32), axis=0)
+        dx = jnp.dot(dpre, w1.astype(cdt).T, preferred_element_type=jnp.float32)
+        dw1 = jax.lax.dot_general(
+            x2, dpre, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db1 = jnp.sum(dpre.astype(jnp.float32), axis=0)
+        return (
+            dx.astype(x.dtype).reshape(x.shape),
+            dw1.astype(w1.dtype),
+            db1.astype(b1.dtype),
+            dw2.astype(w2.dtype),
+            db2.astype(b2.dtype),
+        )
+
+    fused.defvjp(f_fwd, f_bwd)
+    return fused
+
+
+def fused_mlp(x, w1, b1, w2, b2):
+    """gelu(x @ w1 + b1) @ w2 + b2, whole-MLP Pallas pair; x: [..., C_in]."""
+    return _build_mlp(not _on_tpu())(x, w1, b1, w2, b2)

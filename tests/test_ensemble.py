@@ -187,6 +187,34 @@ class TestScoredEnsembleRollout:
         np.testing.assert_allclose(out["spread"], 0.0, atol=1e-5)
         np.testing.assert_allclose(out["rmse_mean"], out["rmse_control"], rtol=1e-5, atol=1e-6)
 
+    def test_members_sharded_over_mesh_match_unsharded(self, tmp_path, rng):
+        """Ensemble members are data-parallel: sharding the member axis over
+        the mesh's data axis reproduces the single-device scores (jit
+        partitions the scan body; the CRPS member-sort gathers over ICI)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from swin_v2_weather_tpu.parallel.mesh import make_mesh
+
+        engine, rp = _micro_engine(tmp_path)
+        c, h, w = 4, 24, 48
+        ic = rng.standard_normal((1, c, h, w)).astype(np.float32)
+        targets = [rng.standard_normal((1, c, h, w)).astype(np.float32) for _ in range(2)]
+        t0 = datetime.datetime(2018, 1, 1)
+        means = np.zeros((c, 1, 1), np.float32)
+        stds = np.ones((c, 1, 1), np.float32)
+
+        pert = gaussian_perturbations(jax.random.PRNGKey(3), 4, (c, h, w), 0.05)
+        members = make_members(ic, pert, 8)  # control + 3.5 centered pairs
+        want = score_ensemble(engine, members, targets, t0, means, stds, chunk=2)
+
+        mesh = make_mesh(None)  # all 8 virtual devices (variables live on all)
+        sharded = jax.device_put(
+            members, NamedSharding(mesh, PartitionSpec("data"))
+        )
+        got = score_ensemble(engine, sharded, targets, t0, means, stds, chunk=2)
+        for key in ("crps", "spread", "rmse_mean", "rmse_control"):
+            np.testing.assert_allclose(got[key], want[key], rtol=2e-5, atol=1e-6)
+
     def test_bred_vectors_grow_flow_dependent_structure(self, tmp_path, rng):
         engine, rp = _micro_engine(tmp_path)
         c, h, w = 4, 24, 48

@@ -220,20 +220,73 @@ class TestFusedMlp:
 
         p_f, y_f, g_f = run("fused")
         p_p, y_p, g_p = run("plain")
+        p_2, y_2, g_2 = run("fused2")
         # same init (identical param paths/shapes -> identical rng draws)
         jax.tree.map(
             lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
             p_f, p_p,
         )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            p_2, p_p,
+        )
         np.testing.assert_allclose(y_f, y_p, atol=1e-4)
+        np.testing.assert_allclose(y_2, y_p, atol=1e-4)
         flat_f = jax.tree_util.tree_leaves_with_path(g_f)
         flat_p = {jax.tree_util.keystr(k): v for k, v in
                   jax.tree_util.tree_leaves_with_path(g_p)}
+        flat_2 = {jax.tree_util.keystr(k): v for k, v in
+                  jax.tree_util.tree_leaves_with_path(g_2)}
         for k, v in flat_f:
             ks = jax.tree_util.keystr(k)
             a, b = np.asarray(v), np.asarray(flat_p[ks])
             denom = max(1.0, float(np.max(np.abs(b))))
             assert float(np.max(np.abs(a - b))) <= 1e-4 * denom, ks
+            c = np.asarray(flat_2[ks])
+            assert float(np.max(np.abs(c - b))) <= 1e-4 * denom, f"fused2 {ks}"
+
+    def test_whole_mlp_kernel_matches_plain_composition(self, rng):
+        """fused_mlp (fc1+GELU+fc2 in one Pallas call + fused-recompute
+        backward) vs the Dense->gelu->Dense composition, fwd and all five
+        gradients, fp32 and bf16."""
+        from swin_v2_weather_tpu.ops.mlp_kernels import fused_mlp
+
+        t, c_in, hidden = 48, 24, 64
+        x32 = jnp.asarray(rng.standard_normal((t, c_in)), jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((c_in, hidden)) * 0.2, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal(hidden) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((hidden, c_in)) * 0.2, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal(c_in) * 0.1, jnp.float32)
+
+        def plain(x, w1, b1, w2, b2):
+            pre = (
+                jnp.dot(x, w1.astype(x.dtype), preferred_element_type=jnp.float32)
+                + b1
+            ).astype(x.dtype)
+            a = jax.nn.gelu(pre.astype(jnp.float32), approximate=False).astype(x.dtype)
+            y = jnp.dot(a, w2.astype(x.dtype)).astype(x.dtype)
+            return y + b2.astype(x.dtype)
+
+        for dtype, tol in ((jnp.float32, 2e-5), (jnp.bfloat16, 3e-2)):
+            x = x32.astype(dtype)
+            y_f = fused_mlp(x, w1, b1, w2, b2)
+            y_p = plain(x, w1, b1, w2, b2)
+            np.testing.assert_allclose(
+                np.asarray(y_f, np.float32), np.asarray(y_p, np.float32), atol=tol
+            )
+            g_f = jax.grad(
+                lambda *a: jnp.sum(fused_mlp(*a).astype(jnp.float32) ** 2),
+                argnums=(0, 1, 2, 3, 4),
+            )(x, w1, b1, w2, b2)
+            g_p = jax.grad(
+                lambda *a: jnp.sum(plain(*a).astype(jnp.float32) ** 2),
+                argnums=(0, 1, 2, 3, 4),
+            )(x, w1, b1, w2, b2)
+            for name, a, b_ in zip(("dx", "dw1", "db1", "dw2", "db2"), g_f, g_p):
+                np.testing.assert_allclose(
+                    np.asarray(a, np.float32), np.asarray(b_, np.float32),
+                    err_msg=f"{name} {dtype}", atol=tol * 30, rtol=3e-2,
+                )
 
 
 class TestInitBehavior:

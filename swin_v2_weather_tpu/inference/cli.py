@@ -74,6 +74,13 @@ def run(args) -> dict:
             dataset.read_output_frame(year_idx, local_idx + dataset.dt * (s + 1))[None]
             for s in range(steps)
         ]
+        if getattr(args, "save_forecast", None):
+            engine.write_forecast(
+                args.save_forecast, ic, start, steps, means=means, stds=stds,
+                channel_names=list(params["channel_names"]),
+                keep_names=getattr(args, "save_channels", None),
+                ic_index=int(ic_idx), chunk=int(getattr(args, "chunk_steps", 8)),
+            )
         n_members = int(getattr(args, "ensemble", 0) or 0)
         if n_members > 1:
             import jax
@@ -180,6 +187,15 @@ def main():
         help="low-pass perturbations to zonal wavenumbers <= K",
     )
     parser.add_argument("--seed", type=int, default=0, help="perturbation seed")
+    parser.add_argument(
+        "--save-forecast", metavar="DIR", dest="save_forecast",
+        help="also write the denormalized forecast fields per IC "
+        "(ic<idx>.npy [T, C', H, W] + .json metadata)",
+    )
+    parser.add_argument(
+        "--save-channels", nargs="+", dest="save_channels",
+        help="channel names to save (default: all output channels)",
+    )
     parser.add_argument("--output", default="scores.json")
     parser.add_argument(
         "--export-stepper", metavar="DIR",

@@ -186,6 +186,75 @@ class RolloutEngine:
             self._scan_cache[key] = self._build_scan(b, None)
         return self._scan_cache[key](self.variables, state, jnp.asarray(zstack))
 
+    def write_forecast(
+        self,
+        out_dir: str,
+        initial_state: jnp.ndarray,  # [1, C_out, H, W] normalized
+        start_time: Optional[datetime.datetime],
+        n_steps: int,
+        means: np.ndarray,  # [C_out, 1, 1] denormalization
+        stds: np.ndarray,
+        channel_names: Sequence[str],
+        keep_names: Optional[Sequence[str]] = None,
+        ic_index: Optional[int] = None,
+        chunk: int = 8,
+    ) -> str:
+        """Run a rollout and write the forecast FIELDS to disk.
+
+        The scoring paths reduce everything to skill scalars; this is the
+        product path — the actual forecast, streamed chunk-by-chunk through
+        the scanned stepper and written denormalized (physical units) as
+
+            <out_dir>/ic<idx>.npy    [T, C', H, W] float32
+            <out_dir>/ic<idx>.json   start time, lead hours, channel names
+
+        ``keep_names`` selects output channels by name (default: all).
+        Returns the .npy path.
+        """
+        import json
+        import os
+
+        names = [str(c) for c in channel_names]
+        if keep_names is None:
+            keep = list(range(len(names)))
+        else:
+            missing = [c for c in keep_names if str(c) not in names]
+            if missing:
+                raise ValueError(f"unknown channels {missing}; have {names}")
+            keep = [names.index(str(c)) for c in keep_names]
+        means = np.asarray(means, np.float32).reshape(1, -1, 1, 1)[:, keep]
+        stds = np.asarray(stds, np.float32).reshape(1, -1, 1, 1)[:, keep]
+
+        state = jnp.asarray(initial_state, jnp.float32)
+        fields: List[np.ndarray] = []
+        when, done = start_time, 0
+        while done < n_steps:
+            k = min(int(chunk), n_steps - done)
+            if self.add_zenith:
+                zstack = self.zenith_stack(when, k)
+                when = when + datetime.timedelta(hours=k * self.hours_per_step)
+            else:
+                zstack = np.zeros((k, 1, 1, self.h, self.w), np.float32)
+            state, preds = self.rollout_chunk(state, zstack)
+            fields.append(np.asarray(preds[:, 0, keep]) * stds + means)
+            done += k
+
+        os.makedirs(out_dir, exist_ok=True)
+        tag = f"ic{int(ic_index):06d}" if ic_index is not None else "ic"
+        npy_path = os.path.join(out_dir, f"{tag}.npy")
+        np.save(npy_path, np.concatenate(fields, axis=0))
+        meta = {
+            "ic_index": ic_index,
+            "start_time": start_time.isoformat() if start_time else None,
+            "lead_hours": [int((s + 1) * self.hours_per_step) for s in range(n_steps)],
+            "channels": [names[i] for i in keep],
+            "grid": [self.h, self.w],
+            "units": "physical (denormalized)",
+        }
+        with open(os.path.join(out_dir, f"{tag}.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        return npy_path
+
     def _build_scan(self, b: int, keep_t):
         assemble = self._assemble
         add_zenith = self.add_zenith

@@ -129,6 +129,52 @@ class TestInferenceCli:
             assert np.isfinite(arr).all(), key
         assert (np.asarray(out["spread"]) > 0).all()
 
+    def test_save_forecast_writes_denormalized_fields(self, registry_and_data, tmp_path):
+        """--save-forecast writes [T, C', H, W] physical fields + metadata;
+        the saved fields match the scanned rollout denormalized."""
+        from swin_v2_weather_tpu.inference.cli import run as cli_run
+
+        reg, data, root = registry_and_data
+        out_dir = str(tmp_path / "fields")
+        args = argparse.Namespace(
+            registry=reg, data=data, ics=[2], steps=3,
+            output=str(tmp_path / "s.json"), save_forecast=out_dir,
+            save_channels=None, scanned=True, chunk_steps=2,
+        )
+        cli_run(args)
+        fields = np.load(os.path.join(out_dir, "ic000002.npy"))
+        assert fields.shape == (3, 4, 24, 48)
+        assert np.isfinite(fields).all()
+        meta = json.load(open(os.path.join(out_dir, "ic000002.json")))
+        assert meta["lead_hours"] == [6, 12, 18]
+        assert len(meta["channels"]) == 4
+        assert meta["start_time"].startswith("2017-01-01")
+
+    def test_save_forecast_channel_subset_and_unknown(self, registry_and_data, tmp_path):
+        from swin_v2_weather_tpu.config.yparams import YParams, default_config_path
+        from swin_v2_weather_tpu.inference.registry import load_model, load_stats
+        from swin_v2_weather_tpu.inference.rollout import RolloutEngine
+
+        reg, data, root = registry_and_data
+        model, variables, params = load_model(reg)
+        means, stds, _ = load_stats(params)
+        engine = RolloutEngine(params, model, variables)
+        names = list(params["channel_names"])
+        ic = np.random.default_rng(0).standard_normal((1, 4, 24, 48)).astype(np.float32)
+        import datetime
+
+        t0 = datetime.datetime(2018, 1, 1)
+        path = engine.write_forecast(
+            str(tmp_path / "sub"), ic, t0, 2, means, stds, names,
+            keep_names=names[:2], ic_index=7, chunk=8,
+        )
+        assert np.load(path).shape == (2, 2, 24, 48)
+        with pytest.raises(ValueError, match="unknown channels"):
+            engine.write_forecast(
+                str(tmp_path / "bad"), ic, t0, 1, means, stds, names,
+                keep_names=["nope"],
+            )
+
     def test_ensemble_bred_flag(self, registry_and_data, tmp_path):
         from swin_v2_weather_tpu.inference.cli import run as cli_run
 

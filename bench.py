@@ -1,18 +1,33 @@
-"""Headline benchmark: flagship single-step training throughput per chip.
+"""Headline benchmark: config-family training throughput per chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line. Top-level fields keep the original contract —
     {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+— where `value` is the FLAGSHIP single-step throughput, and a "families"
+key carries the full measured table (ms/step, samples/s/chip, x-baseline,
+and MFU) for every config family the reference budgets real jobs for
+(`/root/reference/config/swin.yaml`): flagship, relative-loss, CPB
+(rel_pos), 2/4/8-step fine-tune, depth-24.
 
-Baseline (BASELINE.md): the reference trains the 73-var depth-12 flagship at
-~0.5 samples/s/GPU on A100-80GB in the 2-step fine-tune config; single-step
-pretraining is ~2x faster per sample, so the A100 single-step baseline is
-~1.0 samples/s/GPU. ``vs_baseline`` is measured samples/s/chip divided by
-that 1.0.
+Baselines (BASELINE.md): the reference documents ~0.5 samples/s/GPU on
+A100-80GB for the 2-step fine-tune (`config/swin.yaml:202`, the ONE config
+with a stated throughput). Rollout cost scales linearly with in-graph
+steps and single-step pretraining is ~2x faster per sample, so the derived
+per-family A100 baselines are 1.0/n_steps samples/s/GPU; depth-24 halves
+the single-step rate (0.5); CPB has no reference config (no A100 number) —
+it is compared against the single-step 1.0 as the nearest anchor.
+
+MFU: model FLOPs are computed analytically from the config (matmul terms
+only: patch embed, qkv, scores, attn@v, proj, MLP, head — 2*M*N*K each),
+train step = 3x forward (backward is 2x; remat recompute is NOT counted,
+so the figure is a conservative "model FLOPs" MFU), divided by measured
+step time and the v5e bf16 peak of 197 TFLOP/s.
 
 Runs the real jitted train step (forward + backward + adam update, bf16
 compute, Pallas window attention) on synthetic device-resident data — pure
 compute throughput of one chip, no input pipeline in the way. Batch size
 and remat are picked to fit a single chip's HBM.
+
+Set BENCH_FLAGSHIP_ONLY=1 to skip the family rows (fast smoke run).
 """
 
 from __future__ import annotations
@@ -24,38 +39,82 @@ import time
 import numpy as np
 
 A100_SINGLE_STEP_BASELINE = 1.0  # samples/s/GPU, derived in BASELINE.md
+V5E_BF16_PEAK = 197e12  # FLOP/s
+
+# (row name, config-family name or None for flagship, overrides, bs, iters,
+#  A100 baseline samples/s/GPU)
+FAMILIES = [
+    ("flagship_1step", None, {}, 1, 20, 1.0),
+    ("rel_loss", "swin_73var_geo_depth12_chweight_invar_rel", {}, 1, 20, 1.0),
+    ("cpb_rel_pos", None, {"rel_pos": True, "full_pos_embed": False}, 1, 20, 1.0),
+    ("finetune_2step", None, {"n_future": 1}, 1, 12, 0.5),
+    ("finetune_4step", None, {"n_future": 3}, 1, 8, 0.25),
+    ("finetune_8step", None, {"n_future": 7}, 1, 6, 0.125),
+    ("depth24", "swin_73var_geo_depth24_chweight_invar", {}, 1, 12, 0.5),
+]
 
 
-def main():
+def model_flops_fwd(params) -> float:
+    """Analytic matmul FLOPs of ONE forward pass (one rollout step)."""
+    h, w = int(params["img_shape_x"]), int(params["img_shape_y"])
+    p = int(params["patch_size"])
+    c = int(params["embed_dim"])
+    depth = int(params["depth"])
+    cin = int(params["n_in_channels"])
+    cout = int(params["n_out_channels"])
+    ratio = int(params["window_ratio"])
+    mlp_ratio = float(params.get("mlp_ratio", 4.0))
+    hp, wp = h // p, w // p
+    t = hp * wp
+    l = (h // ratio) * (w // ratio)  # window sequence length (9*18 = 162)
+    f = 2.0 * t * (cin * p * p) * c  # patch embed (space-to-depth matmul)
+    per_block = 2.0 * t * c * (3 * c) + 2 * (2.0 * t * l * c) + 2.0 * t * c * c
+    per_block += 2 * (2.0 * t * c * (mlp_ratio * c))  # fc1 + fc2
+    f += depth * per_block
+    f += 2.0 * t * c * (cout * p * p)  # head
+    return f
+
+
+def build_params(name, overrides):
+    from __graft_entry__ import _flagship_params
+
+    if name is None:
+        params = _flagship_params()
+    else:
+        from swin_v2_weather_tpu.config.yparams import YParams, default_config_path
+        from swin_v2_weather_tpu.data.preprocess import derived_channel_counts
+
+        params = YParams(default_config_path(), name)
+        params["in_channels"] = np.asarray(params["in_channels"])
+        params["out_channels"] = np.asarray(params["out_channels"])
+        n_in, n_out = derived_channel_counts(params)
+        params["n_in_channels"], params["n_out_channels"] = n_in, n_out
+        params["img_shape_x"] = int(params.img_size[0])
+        params["img_shape_y"] = int(params.img_size[1])
+    params["data_loader_config"] = "synthetic"  # device-resident random batch
+    params["activation_ckpt"] = True  # fit 720x1440 depth-12 on one chip
+    # measured-best single-chip config (see ROADMAP.md): qkv-fused attention
+    # kernel + min-recompute 'mlp3' remat policy + unrolled block pairs +
+    # fused MLP Pallas kernels (fc1+GELU pair single-step, whole-MLP pair
+    # for multi-step/depth-24 — gated in models/swin.py:get_model)
+    params["attn_impl"] = "pallas_qkv"
+    params["remat_policy"] = "mlp3"
+    params["scan_blocks"] = False
+    for k, v in overrides.items():
+        params[k] = v
+    return params
+
+
+def measure(params, bs, iters):
     import jax
-
-    # persistent XLA compile cache: repeat bench runs skip the ~3-min compile
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_xla_cache"),
-    )
     import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship_params
     from swin_v2_weather_tpu.data.preprocess import Preprocessor
     from swin_v2_weather_tpu.models.wrappers import get_model
     from swin_v2_weather_tpu.ops.losses import LossHandler
     from swin_v2_weather_tpu.parallel.mesh import make_mesh
     from swin_v2_weather_tpu.training.optim import build_optimizer
     from swin_v2_weather_tpu.training.step import TrainState, build_train_step
-
-    params = _flagship_params()
-    params["data_loader_config"] = "synthetic"  # device-resident random batch
-    batch_size = int(params.get("bench_batch_size", 1))
-    params["activation_ckpt"] = True  # fit 720x1440 depth-12 on one chip
-    # measured-best single-chip config (see ROADMAP.md): qkv-fused attention
-    # kernel (batched-head fwd/bwd) + min-recompute 'mlp3' remat policy +
-    # unrolled blocks (no scan-stacked save buffers: the per-iteration
-    # dynamic-update-slice saves ran at ~1/6 HBM peak; 465 -> 431 ms) +
-    # fused fc1+GELU Pallas kernel pair (SWIN_MLP_IMPL default; 431 -> 417)
-    params["attn_impl"] = "pallas_qkv"
-    params["remat_policy"] = "mlp3"
-    params["scan_blocks"] = False
 
     mesh = make_mesh(None, devices=jax.devices()[:1])
     model = get_model(params)
@@ -66,17 +125,23 @@ def main():
     h, w = params["img_shape_x"], params["img_shape_y"]
     n_data = len(params["in_channels"])
     n_out = int(params["n_out_channels"])
+    n_steps_roll = int(params.get("n_future", 0) or 0) + 1
     rng = np.random.default_rng(0)
     batch = {
-        "inp": jnp.asarray(rng.standard_normal((batch_size, n_data, h, w)), jnp.float32),
-        "tar": jnp.asarray(rng.standard_normal((batch_size, n_out, h, w)), jnp.float32),
-        "zen_inp": jnp.asarray(rng.standard_normal((batch_size, 1, h, w)), jnp.float32),
-        "zen_tar": jnp.asarray(rng.standard_normal((batch_size, 1, h, w)), jnp.float32),
+        "inp": jnp.asarray(rng.standard_normal((bs, n_data, h, w)), jnp.float32),
+        "tar": jnp.asarray(
+            rng.standard_normal((bs, n_steps_roll * n_out, h, w)), jnp.float32
+        ),
+        "zen_inp": jnp.asarray(rng.standard_normal((bs, 1, h, w)), jnp.float32),
+        "zen_tar": jnp.asarray(
+            rng.standard_normal((bs, n_steps_roll, h, w)), jnp.float32
+        ),
     }
     batch = jax.device_put(batch, jax.devices()[0])
 
     x = jnp.zeros((1, int(params["n_in_channels"]), h, w), jnp.float32)
-    variables = model.init(jax.random.key(0), x, train=False)
+    tzen = jnp.zeros((1, n_steps_roll, h, w), jnp.float32)
+    variables = model.init(jax.random.key(0), x, coszen=tzen, train=False)
     state = TrainState.create(variables["params"], optimizer)
     del variables
 
@@ -85,28 +150,61 @@ def main():
 
     # warmup: compile + the first few state-feedback steps pay a one-time
     # buffer-layout adoption; measure steady state only
-    for _ in range(8):
+    for _ in range(6):
         state, metrics = train_step(state, batch, key)
-    _ = float(metrics["loss"])
+    _ = float(metrics["loss"])  # forces a host fetch (tunnel-safe sync)
 
-    n_iters = 20
     t0 = time.perf_counter()
-    for _ in range(n_iters):
+    for _ in range(iters):
         state, metrics = train_step(state, batch, key)
     _ = float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / n_iters
+    dt = (time.perf_counter() - t0) / iters
+    return dt, n_steps_roll
 
-    samples_per_sec = batch_size / dt
-    print(
-        json.dumps(
-            {
-                "metric": "flagship_train_throughput_single_step",
-                "value": round(samples_per_sec, 4),
-                "unit": "samples/sec/chip",
-                "vs_baseline": round(samples_per_sec / A100_SINGLE_STEP_BASELINE, 4),
-            }
-        )
+
+def main():
+    import jax
+
+    # persistent XLA compile cache: repeat bench runs skip the ~3-min compile
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_xla_cache"),
     )
+
+    flagship_only = os.environ.get("BENCH_FLAGSHIP_ONLY", "0") == "1"
+    rows = []
+    flagship_sps = None
+    for name, cfg, overrides, bs, iters, baseline in FAMILIES:
+        if flagship_only and name != "flagship_1step":
+            continue
+        try:
+            params = build_params(cfg, overrides)
+            dt, n_steps_roll = measure(params, bs, iters)
+            sps = bs / dt
+            fwd = model_flops_fwd(params) * n_steps_roll * bs
+            mfu = 3.0 * fwd / dt / V5E_BF16_PEAK
+            row = {
+                "family": name,
+                "ms_step": round(dt * 1e3, 1),
+                "samples_s_chip": round(sps, 4),
+                "vs_a100_baseline": round(sps / baseline, 3),
+                "mfu": round(mfu, 3),
+            }
+            if name == "flagship_1step":
+                flagship_sps = sps
+        except Exception as e:  # noqa: BLE001 — record and keep benching
+            row = {"family": name, "error": f"{type(e).__name__}: {e}"[:300]}
+        rows.append(row)
+
+    out = {
+        "metric": "flagship_train_throughput_single_step",
+        "value": round(flagship_sps or 0.0, 4),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round((flagship_sps or 0.0) / A100_SINGLE_STEP_BASELINE, 4),
+        "mfu_note": "3x analytic fwd model FLOPs / time / 197 TFLOP/s (v5e bf16 peak); remat recompute not counted",
+        "families": rows,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1139,16 +1139,19 @@ def build_swin_from_params(params, dtype=None) -> SwinTransformerV2:
         scan_blocks=bool(getattr(params, "scan_blocks", True)),
         dtype=dtype,
         attn_impl=str(getattr(params, "attn_impl", "xla")),
-        # The fused MLP defaults ON only for single-step training at
-        # depth <= 12 — elsewhere the kernel's primal outputs/residuals stay
-        # live as HLO temps that XLA's rematerializer does not reclaim the
-        # way it does the unfused fusions (measured: 2-step 20.4 GB and
-        # depth-24 18.9 GB vs 15.75 capacity, both of which fit unfused).
+        # MLP kernel selection by config family (all chip-measured, r3/r4):
+        #  * single-step depth<=12: 'fused' (fc1+GELU kernel pair, 416.9 ms
+        #    vs 420.0 fused2 vs 430.7 plain) — fastest, and its extra
+        #    [tokens, hidden] primal slab fits at single step.
+        #  * multi-step or depth>12: 'fused2' (whole-MLP kernel pair) — the
+        #    gelu slab never exists in HBM, so the custom_vjp liveness that
+        #    OOM'd the fc1-fused path on rollouts (20.4 GB at 2-step) is
+        #    gone: 2-step measures 879.8 ms/15.08 GB vs 898.9 ms plain.
         # A config key `mlp_impl` overrides either way.
         mlp_impl=(
             str(params["mlp_impl"]) if "mlp_impl" in params
             else (
-                "plain"
+                "fused2"
                 if int(getattr(params, "n_future", 0) or 0) > 0
                 or int(params.depth) > 12
                 else None

@@ -7,10 +7,23 @@ and the trailing static (orography/landmask) channels to each prediction
 before feeding it back (reference ``networks/helpers.py:26-41``).
 
 On TPU the whole rollout is jit-compiled on device — there are no host
-round-trips between steps. ``n_future`` is small (<= 7 in all reference
-configs) and each step's input layout is identical after the first, so the
-loop is unrolled into the XLA graph; with ``activation_ckpt`` each inner
-model call is already rematted block-by-block, keeping rollout memory flat.
+round-trips between steps. Two in-graph forms are provided:
+
+* **unrolled** (``scan_rollout=False``): each of the ``n_future + 1`` model
+  calls is traced into the XLA graph separately. Fine at 2 steps; at 8 the
+  program holds 9 traced copies of the network and compile time scales with
+  them.
+* **scanned** (``scan_rollout=True``, the default for ``n_future >= 2``):
+  one ``nn.scan`` body traced ONCE, carrying the full model input
+  [B, C_in, H, W] between iterations (every step after the first has the
+  identical layout [pred, zenith_step, invariants], and the first step's
+  input already has that layout with the data channels in place of pred —
+  so the carry needs no special-casing). Compile time and program size are
+  flat in ``n_future``; backward residuals are the same per-step remat
+  saves either way, stacked along the scan axis.
+
+With ``activation_ckpt`` each inner model call is rematted block-by-block
+in both forms, keeping rollout memory linear in steps with a small slope.
 """
 
 from __future__ import annotations
@@ -49,8 +62,28 @@ class MultiStepWrapper(nn.Module):
     model: SwinTransformerV2
     n_future: int
     n_invar: int  # 1*add_orography + 2*add_landmask
+    # None -> scan for n_future >= 2 (4/8-step fine-tune), unrolled at 2-step
+    # (one extra traced copy costs nothing there and XLA can specialize the
+    # final step, which needs no feedback concat).
+    scan_rollout: Optional[bool] = None
+    # Remat the scan body as a unit (None -> on whenever scanning): the scan
+    # then stacks ONLY the [B, C_in, H, W] carries (~300 MB/step fp32 at
+    # flagship shape) instead of every per-block residual (~9 GB/step —
+    # measured 36.7 GB at 4-step, 2.3x over HBM). During step t's backward
+    # the body is recomputed from carry t with the model's own block-level
+    # remat policy bounding the recompute's memory, so peak HBM is
+    # (n_steps x carry) + ONE step's backward footprint, nearly flat in
+    # rollout length.
+    remat_rollout: Optional[bool] = None
+
+    def _use_scan(self) -> bool:
+        if self.scan_rollout is not None:
+            return bool(self.scan_rollout)
+        return self.n_future >= 2
 
     def __call__(self, inp: jnp.ndarray, coszen: Optional[jnp.ndarray] = None, train: bool = False):
+        if self._use_scan():
+            return self._rollout_scanned(inp, coszen, train)
         result = []
         inpt = inp
         invars = inp[:, -self.n_invar :, :, :] if self.n_invar else None
@@ -67,6 +100,57 @@ class MultiStepWrapper(nn.Module):
             inpt = jnp.concatenate(parts, axis=1)
         return jnp.concatenate(result, axis=1)
 
+    def _rollout_scanned(self, inp, coszen, train: bool):
+        """One scanned body for all n_future+1 steps (SURVEY §7 step 3).
+
+        The zenith xs are padded with one unused trailing slice so the scan
+        covers the final step too (its feedback concat is computed and
+        discarded — one concat of tensors already in HBM, no model call);
+        this keeps the traced program to ONE copy of the network instead of
+        a scanned body plus an unrolled final call.
+        """
+        n_steps = self.n_future + 1
+        invars = inp[:, -self.n_invar :, :, :] if self.n_invar else None
+
+        if coszen is not None:
+            # feedback uses coszen[:, step] for step 0..n_future-1
+            # (reference networks/helpers.py:33-38); pad one zero slice for
+            # the discarded final-iteration concat.
+            zen_xs = jnp.concatenate(
+                [
+                    coszen[:, : self.n_future, :, :],
+                    jnp.zeros_like(coszen[:, :1, :, :]),
+                ],
+                axis=1,
+            )
+        else:
+            zen_xs = None
+
+        def body(model, carry, zen_step):
+            pred = model(carry, train=train)
+            parts = [pred]
+            if zen_step is not None:
+                parts.append(zen_step[:, None, :, :])
+            if invars is not None:
+                parts.append(invars)
+            return jnp.concatenate(parts, axis=1), pred
+
+        remat = self.remat_rollout if self.remat_rollout is not None else True
+        if remat:
+            # prevent_cse=False is required (and safe) under lax.scan
+            body = nn.remat(body, prevent_cse=False)
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=1,   # slice zen_xs over its step axis -> [B, H, W]
+            out_axes=1,  # stack preds as [B, n_steps, C_out, H, W]
+            length=n_steps,
+        )
+        _, preds = scan(self.model, inp, zen_xs)
+        b, _, c_out, h, w = preds.shape
+        return preds.reshape(b, n_steps * c_out, h, w)
+
 
 def get_model(params, dtype: Any = None) -> nn.Module:
     """Model factory: nettype dispatch + single/multi-step wrapping.
@@ -78,5 +162,17 @@ def get_model(params, dtype: Any = None) -> nn.Module:
     core = build_swin_from_params(params, dtype=dtype)
     if int(params.n_future) > 0:
         n_invar = 1 * bool(params.add_orography) + 2 * bool(params.add_landmask)
-        return MultiStepWrapper(model=core, n_future=int(params.n_future), n_invar=n_invar)
+        scan_rollout = (
+            bool(params["scan_rollout"]) if "scan_rollout" in params else None
+        )
+        remat_rollout = (
+            bool(params["remat_rollout"]) if "remat_rollout" in params else None
+        )
+        return MultiStepWrapper(
+            model=core,
+            n_future=int(params.n_future),
+            n_invar=n_invar,
+            scan_rollout=scan_rollout,
+            remat_rollout=remat_rollout,
+        )
     return SingleStepWrapper(model=core)

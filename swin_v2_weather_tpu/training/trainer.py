@@ -60,6 +60,7 @@ class Trainer:
         self.params = params
         self.config = config_name
         self.run_num = run_num
+        self._base_run_num = run_num  # sweep trials derive per-trial run ids
         self.sweep_id = sweep_id
         self.root_dir = params["exp_dir"]
 
@@ -87,14 +88,23 @@ class Trainer:
     def build(self):
         params = self.params
         if self.sweep_id is not None and self.is_chief:
-            # running inside a wandb agent trial: the sweep server's mutated
-            # params arrive via wandb.config after wandb.init() — merge them
-            # before anything derived is computed (reference train.py:118-123)
-            import wandb
+            # running inside a sweep-agent trial: the agent's mutated params
+            # must merge before anything derived is computed (reference
+            # train.py:118-123). Two agents can drive this: the native
+            # in-repo one (training/sweeps.py — air-gapped pods) or wandb's.
+            from swin_v2_weather_tpu.training import sweeps as _sweeps
 
-            if getattr(wandb, "run", None) is None:
-                wandb.init()
-            params.update_params(dict(wandb.config))
+            trial_cfg = _sweeps.active_config()
+            if trial_cfg is not None:
+                # per-trial experiment dir: runs/sweeps/<id>/<cfg>/<run-trialNNN>
+                self.run_num = f"{self._base_run_num}-{_sweeps.active_trial_name()}"
+                params.update_params(trial_cfg)
+            else:
+                import wandb
+
+                if getattr(wandb, "run", None) is None:
+                    wandb.init()
+                params.update_params(dict(wandb.config))
         if self.sweep_id is not None and self.process_count > 1:
             # the wandb agent mutated the chief's params only — every process
             # must see the same trial config (reference train.py:130-139)

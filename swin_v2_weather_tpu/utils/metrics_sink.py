@@ -44,6 +44,10 @@ class MetricsSink:
         self._fh.write(json.dumps(record) + "\n")
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
+        # native sweep agent (training/sweeps.py): no-op outside a trial
+        from swin_v2_weather_tpu.training import sweeps as _sweeps
+
+        _sweeps.report(record)
 
     def close(self) -> None:
         if self._fh is not None:

@@ -216,6 +216,154 @@ class TestFlagshipGoldenParity:
         assert loss_ref > 0
         assert abs(loss_ours - loss_ref) / loss_ref < 5e-3, (loss_ours, loss_ref)
 
+    def test_2step_finetune_trajectory_at_full_resolution(
+        self, reference_module, tmp_path
+    ):
+        """Three 2-step-fine-tune optimizer steps at FULL 720x1440 resolution
+        vs the torch reference (VERDICT r3 next #4b): MultiStepWrapper
+        rollout (reference ``networks/helpers.py:18-41``), flagship loss
+        spec with its 1/(n_future+1) multistep weighting
+        (``utils/losses.py:127-132``), Adam lr 1e-4
+        (``config/swin.yaml:199-215``). Per-step losses and a parameter
+        spot-check must track torch in fp32."""
+        import importlib
+
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from tests.test_reference_parity import _install_torch_harmonics_shim
+        from swin_v2_weather_tpu.config.yparams import YParams, default_config_path
+        from swin_v2_weather_tpu.models.swin import SwinTransformerV2
+        from swin_v2_weather_tpu.models.wrappers import MultiStepWrapper
+        from swin_v2_weather_tpu.ops.losses import LossHandler
+
+        _install_torch_harmonics_shim()
+        sys.path.insert(0, REFERENCE)
+        try:
+            helpers = importlib.import_module("networks.helpers")
+            ref_losses = importlib.import_module("utils.losses")
+        finally:
+            sys.path.remove(REFERENCE)
+
+        n_future, n_steps, lr = 1, 3, 1e-4
+        c = FLAGSHIP
+
+        ref_core = reference_module.SwinTransformerV2Cr(
+            img_size=c["img_size"], patch_size=c["patch_size"],
+            depths=(c["depth"],), num_heads=(c["num_heads"],),
+            in_chans=c["in_chans"], out_chans=c["out_chans"],
+            embed_dim=c["embed_dim"], img_window_ratio=c["window_ratio"],
+            drop_path_rate=0.0, full_pos_embed=True, rel_pos=False,
+            mlp_ratio=c["mlp_ratio"], checkpoint_stages=False, residual=True,
+        ).eval()
+        g = torch.Generator().manual_seed(77)
+        with torch.no_grad():
+            for name, p in ref_core.named_parameters():
+                if "norm" in name or "logit_scale" in name:
+                    p.copy_(torch.randn(p.shape, generator=g) * 0.3)
+        fake_params = types.SimpleNamespace(
+            n_future=n_future, add_orography=1, add_landmask=1
+        )
+        ref_wrap = helpers.MultiStepWrapper(fake_params, lambda p: ref_core).eval()
+
+        ours_core = SwinTransformerV2(
+            img_size=c["img_size"], patch_size=c["patch_size"],
+            in_chans=c["in_chans"], out_chans=c["out_chans"],
+            embed_dim=c["embed_dim"], depth=c["depth"],
+            num_heads=c["num_heads"], img_window_ratio=c["window_ratio"],
+            full_pos_embed=True, rel_pos=False, residual=True,
+            dtype=jnp.float32, scan_blocks=False, attn_impl="xla",
+        )
+        ours_wrap = MultiStepWrapper(
+            model=ours_core, n_future=n_future, n_invar=N_STATIC
+        )
+
+        # flagship loss, both handlers, n_future=1 training weighting
+        rng = np.random.default_rng(5)
+        global_stds = (0.5 + rng.random((1, N_DATA, 1, 1))).astype(np.float32)
+        time_diff_stds = (0.1 + rng.random((1, N_DATA, 1, 1))).astype(np.float32)
+        np.save(tmp_path / "global_stds.npy", global_stds)
+        np.save(tmp_path / "time_diff_stds.npy", time_diff_stds)
+        params_y = YParams(
+            default_config_path(), "swin_73var_geo_depth12_chweight_invar_2step"
+        )
+        params_y["n_out_channels"] = N_DATA
+        params_y["img_shape_x"], params_y["img_shape_y"] = H, W
+        params_y["global_stds_path"] = str(tmp_path / "global_stds.npy")
+        params_y["time_diff_stds_path"] = str(tmp_path / "time_diff_stds.npy")
+        params_y["in_channels"] = list(range(N_DATA))
+        params_y["out_channels"] = list(range(N_DATA))
+        assert int(params_y.n_future) == n_future  # the reference 2-step config
+        ours_loss = LossHandler(params_y)
+        ref_loss = ref_losses.LossHandler(
+            types.SimpleNamespace(
+                n_future=n_future, img_shape_x=H, img_shape_y=W,
+                loss=params_y.loss, channel_weights="auto",
+                channel_names=list(params_y.channel_names),
+                n_out_channels=N_DATA,
+                global_stds_path=str(tmp_path / "global_stds.npy"),
+                time_diff_stds_path=str(tmp_path / "time_diff_stds.npy"),
+                out_channels=np.arange(N_DATA), dt=int(params_y.dt),
+                model_grid_type=str(params_y.model_grid_type),
+            )
+        ).train()
+
+        batches = [
+            (
+                rng.standard_normal((1, IN_CHANS, H, W)).astype(np.float32),
+                rng.standard_normal((1, n_future + 1, H, W)).astype(np.float32),
+                rng.standard_normal(
+                    (1, (n_future + 1) * N_DATA, H, W)
+                ).astype(np.float32),
+            )
+            for _ in range(n_steps)
+        ]
+
+        x0 = jnp.zeros((1, c["in_chans"], H, W), jnp.float32)
+        template = jax.eval_shape(lambda: ours_core.init(jax.random.key(0), x0))
+        params = {"model": torch_to_flax(ref_core, template["params"], cfg=c)}
+
+        opt_t = torch.optim.Adam(ref_core.parameters(), lr=lr, betas=(0.9, 0.95))
+        losses_t = []
+        for x, coszen, tar in batches:
+            opt_t.zero_grad()
+            out = ref_wrap(torch.from_numpy(x), torch.from_numpy(coszen))
+            loss = ref_loss(out, torch.from_numpy(tar), torch.from_numpy(x))
+            loss.backward()
+            opt_t.step()
+            losses_t.append(float(loss))
+
+        tx = optax.adam(lr, b1=0.9, b2=0.95)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(p, opt_state, x, coszen, tar):
+            def loss_fn(pp):
+                out = ours_wrap.apply({"params": pp}, x, coszen=coszen)
+                return ours_loss(out, tar, x)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, opt_state = tx.update(grads, opt_state, p)
+            return optax.apply_updates(p, updates), opt_state, loss
+
+        losses_j = []
+        for x, coszen, tar in batches:
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(x), jnp.asarray(coszen),
+                jnp.asarray(tar),
+            )
+            losses_j.append(float(loss))
+
+        np.testing.assert_allclose(losses_j, losses_t, rtol=2e-3, atol=1e-7)
+        # spot-check a trained parameter tensor after the 3 steps
+        final_ref = torch_to_flax(ref_core, template["params"], cfg=c)
+        np.testing.assert_allclose(
+            np.asarray(params["model"]["head"]["kernel"]),
+            np.asarray(final_ref["head"]["kernel"]),
+            atol=5e-4,
+        )
+
     def test_scored_rollout_step_matches_reference_metrics(
         self, transplanted, tmp_path
     ):

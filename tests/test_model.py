@@ -432,6 +432,57 @@ class TestWrappers:
         y = wrapper.apply(params, x, coszen)
         assert y.shape == (2, (n_future + 1) * 4, 24, 48)
 
+    def test_scan_rollout_matches_unrolled(self, rng):
+        """The nn.scan rollout form is numerically identical to the
+        unrolled Python loop (SURVEY §7 step 3) and shares the same param
+        tree, so checkpoints are interchangeable between the two forms."""
+        n_future = 3
+        core = tiny_model(in_chans=8, out_chans=4, residual=True, drop_path_rate=0.0)
+        unrolled = MultiStepWrapper(
+            model=core, n_future=n_future, n_invar=3, scan_rollout=False
+        )
+        scanned = MultiStepWrapper(
+            model=core, n_future=n_future, n_invar=3, scan_rollout=True
+        )
+        x = jnp.asarray(rng.normal(size=(2, 8, 24, 48)), jnp.float32)
+        coszen = jnp.asarray(rng.normal(size=(2, n_future + 1, 24, 48)), jnp.float32)
+        p_u = _activate_blocks(unrolled.init(jax.random.key(0), x, coszen))
+        p_s = scanned.init(jax.random.key(0), x, coszen)
+        assert jax.tree_util.tree_structure(p_u) == jax.tree_util.tree_structure(p_s)
+        y_u = unrolled.apply(p_u, x, coszen)
+        y_s = scanned.apply(p_u, x, coszen)
+        np.testing.assert_allclose(np.asarray(y_u), np.asarray(y_s), atol=2e-5)
+        # gradients agree too (the form must be swappable mid-fine-tune)
+        def loss(p, wrapper):
+            return jnp.mean(wrapper.apply(p, x, coszen) ** 2)
+
+        g_u = jax.grad(loss)(p_u, unrolled)
+        g_s = jax.grad(loss)(p_u, scanned)
+        for a, b in zip(jax.tree.leaves(g_u), jax.tree.leaves(g_s)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4
+            )
+
+    def test_scan_rollout_no_coszen(self, rng):
+        """coszen=None: the scan carries [pred, invars] only (the wrapper is
+        built with in_chans == out_chans + n_invar in that case)."""
+        core = tiny_model(in_chans=7, out_chans=4, residual=False, drop_path_rate=0.0)
+        x = jnp.asarray(rng.normal(size=(1, 7, 24, 48)), jnp.float32)
+        y_ref = None
+        for scan in (False, True):
+            wrapper = MultiStepWrapper(
+                model=core, n_future=2, n_invar=3, scan_rollout=scan
+            )
+            params = wrapper.init(jax.random.key(0), x)
+            y = wrapper.apply(params, x)
+            assert y.shape == (1, 12, 24, 48)
+            if scan:
+                np.testing.assert_allclose(
+                    np.asarray(y), np.asarray(y_ref), atol=2e-5
+                )
+            else:
+                y_ref = y
+
     def test_multi_step_first_step_equals_single(self, rng):
         wrapper = self._mk(1)
         x = jnp.asarray(rng.normal(size=(1, 8, 24, 48)), jnp.float32)

@@ -109,6 +109,29 @@ def _install_timm_shim():
             sys.modules["ruamel.yaml"] = ruamel_yaml
 
 
+def _install_torch_harmonics_shim():
+    """The reference LossHandler imports torch_harmonics at module load for
+    the (unused in l2 configs) H1/SHT path; satisfy it with our own
+    quadrature twins + a stub SHT class."""
+    if "torch_harmonics" in sys.modules:
+        return
+    from swin_v2_weather_tpu.ops import quadrature as quad
+
+    th = types.ModuleType("torch_harmonics")
+
+    class _NoSHT:
+        def __init__(self, *a, **k):
+            raise NotImplementedError("SHT not needed for l2 loss")
+
+    th.RealSHT = _NoSHT
+    thq = types.ModuleType("torch_harmonics.quadrature")
+    thq.clenshaw_curtiss_weights = quad.clenshaw_curtiss_weights
+    thq.legendre_gauss_weights = quad.legendre_gauss_weights
+    th.quadrature = thq
+    sys.modules["torch_harmonics"] = th
+    sys.modules["torch_harmonics.quadrature"] = thq
+
+
 @pytest.fixture(scope="module")
 def reference_module():
     _install_timm_shim()
@@ -566,6 +589,313 @@ class TestReferenceParity:
             losses_j.append(float(loss))
 
         np.testing.assert_allclose(losses_j, losses_t, rtol=5e-4, atol=1e-6)
+
+    def test_long_trajectory_flagship_loss_matches_torch(
+        self, reference_module, tmp_path
+    ):
+        """100 Adam steps with the FLAGSHIP loss spec ('weighted absolute
+        temp-std squared geometric l2', both LossHandlers) and the cosine
+        schedule stepped per epoch — per-step tracked tolerances catch slow
+        numeric drift (wrong quadrature normalization, channel-weight
+        ordering, temp-std application) that the 20-step MSE test cannot
+        (VERDICT r3 next #4a). Reference ``train.py:226-303`` +
+        ``utils/losses.py:31-150``."""
+        import importlib
+
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from swin_v2_weather_tpu.config.yparams import YParams, default_config_path
+        from swin_v2_weather_tpu.models.swin import SwinTransformerV2
+        from swin_v2_weather_tpu.ops.losses import LossHandler
+        from swin_v2_weather_tpu.training.optim import (
+            CosineAnnealingLR,
+            set_learning_rate,
+        )
+
+        _install_torch_harmonics_shim()
+        sys.path.insert(0, REFERENCE)
+        try:
+            ref_losses = importlib.import_module("utils.losses")
+        finally:
+            sys.path.remove(REFERENCE)
+
+        n_epochs, steps_per_epoch, base_lr = 25, 4, 1e-3
+        n_steps = n_epochs * steps_per_epoch  # 100
+        h, w = CFG["img_size"]
+        n_out = CFG["out_chans"]
+
+        rng = np.random.default_rng(61)
+        global_stds = (0.5 + rng.random((1, n_out, 1, 1))).astype(np.float32)
+        time_diff_stds = (0.1 + rng.random((1, n_out, 1, 1))).astype(np.float32)
+        np.save(tmp_path / "global_stds.npy", global_stds)
+        np.save(tmp_path / "time_diff_stds.npy", time_diff_stds)
+
+        # four channels spanning the reference's auto-weight classes
+        # (utils/losses.py:56-68): surface wind 0.1, t2m 1.0, pressure-level
+        # 0.001*level, default 0.01
+        channel_names = ["u10m", "t2m", "z500", "sp"]
+
+        params = YParams(
+            default_config_path(), "swin_73var_geo_depth12_chweight_invar"
+        )
+        params["n_out_channels"] = n_out
+        params["img_shape_x"], params["img_shape_y"] = h, w
+        params["global_stds_path"] = str(tmp_path / "global_stds.npy")
+        params["time_diff_stds_path"] = str(tmp_path / "time_diff_stds.npy")
+        params["in_channels"] = list(range(n_out))
+        params["out_channels"] = list(range(n_out))
+        params["channel_names"] = channel_names
+        ours_loss = LossHandler(params)
+
+        ref_loss = ref_losses.LossHandler(
+            types.SimpleNamespace(
+                n_future=0, img_shape_x=h, img_shape_y=w, loss=params.loss,
+                channel_weights="auto", channel_names=channel_names,
+                n_out_channels=n_out,
+                global_stds_path=str(tmp_path / "global_stds.npy"),
+                time_diff_stds_path=str(tmp_path / "time_diff_stds.npy"),
+                out_channels=np.arange(n_out), dt=int(params.dt),
+                model_grid_type=str(params.model_grid_type),
+            )
+        ).train()
+
+        ref = build_reference(reference_module)
+        ours = SwinTransformerV2(
+            img_size=CFG["img_size"], patch_size=CFG["patch_size"],
+            in_chans=CFG["in_chans"], out_chans=CFG["out_chans"],
+            embed_dim=CFG["embed_dim"], depth=CFG["depth"],
+            num_heads=CFG["num_heads"], img_window_ratio=CFG["window_ratio"],
+            full_pos_embed=True, rel_pos=False, residual=True,
+            dtype=jnp.float32, scan_blocks=False, attn_impl="xla",
+        )
+        batches = [
+            (
+                rng.standard_normal((2, CFG["in_chans"], h, w)).astype(np.float32),
+                rng.standard_normal((2, n_out, h, w)).astype(np.float32),
+            )
+            for _ in range(n_steps)
+        ]
+        template = jax.eval_shape(
+            lambda: ours.init(jax.random.key(0), jnp.asarray(batches[0][0]))
+        )
+        flax_params = torch_to_flax(ref, template["params"])
+
+        # --- torch trajectory ---
+        opt_t = torch.optim.Adam(ref.parameters(), lr=base_lr, betas=(0.9, 0.95))
+        sched_t = torch.optim.lr_scheduler.CosineAnnealingLR(opt_t, T_max=n_epochs)
+        losses_t, it = [], iter(batches)
+        for _ in range(n_epochs):
+            for _ in range(steps_per_epoch):
+                x, tar = next(it)
+                opt_t.zero_grad()
+                loss = ref_loss(
+                    ref(torch.from_numpy(x)), torch.from_numpy(tar),
+                    torch.from_numpy(x),
+                )
+                loss.backward()
+                opt_t.step()
+                losses_t.append(float(loss))
+            sched_t.step()
+        final_ref = torch_to_flax(ref, template["params"])
+
+        # --- our trajectory ---
+        tx = optax.inject_hyperparams(
+            lambda learning_rate: optax.adam(learning_rate, b1=0.9, b2=0.95)
+        )(learning_rate=base_lr)
+        opt_state = tx.init(flax_params)
+        sched = CosineAnnealingLR(base_lr, t_max=n_epochs)
+
+        @jax.jit
+        def step(p, opt_state, x, tar):
+            def loss_fn(pp):
+                out = ours.apply({"params": pp}, x)
+                return ours_loss(out, tar, x)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, opt_state = tx.update(grads, opt_state, p)
+            return optax.apply_updates(p, updates), opt_state, loss
+
+        losses_j, it = [], iter(batches)
+        p = flax_params
+        for _ in range(n_epochs):
+            opt_state = set_learning_rate(opt_state, sched.lr)
+            for _ in range(steps_per_epoch):
+                x, tar = next(it)
+                p, opt_state, loss = step(p, opt_state, jnp.asarray(x), jnp.asarray(tar))
+                losses_j.append(float(loss))
+            sched.step()
+
+        # per-step tracked tolerance: a semantic bug (weights, quadrature,
+        # LR point) diverges at 1e-2+ from its first affected step; benign
+        # fp noise starts ~1e-7 and amplifies chaotically, so the allowed
+        # rtol widens geometrically with step index and is capped.
+        losses_j, losses_t = np.asarray(losses_j), np.asarray(losses_t)
+        for k in range(n_steps):
+            rtol_k = min(2e-2, 5e-4 * (1.08 ** max(0, k - 4)))
+            assert abs(losses_j[k] - losses_t[k]) <= rtol_k * abs(losses_t[k]) + 1e-7, (
+                f"step {k}: ours={losses_j[k]:.6g} torch={losses_t[k]:.6g} "
+                f"rtol={rtol_k:.2g}"
+            )
+        # end-of-training agreement: mean of the last 10 losses within 1%
+        m_j, m_t = losses_j[-10:].mean(), losses_t[-10:].mean()
+        assert abs(m_j - m_t) / m_t < 1e-2, (m_j, m_t)
+        # training made progress on both sides
+        assert m_t < losses_t[:4].mean()
+        # final parameter agreement
+        flat_r = {jax.tree_util.keystr(k): v for k, v in
+                  jax.tree_util.tree_leaves_with_path(final_ref)}
+        for key, leaf in jax.tree_util.tree_leaves_with_path(p):
+            ks = jax.tree_util.keystr(key)
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(flat_r[ks]), atol=5e-3, err_msg=ks
+            )
+
+    @pytest.mark.slow
+    def test_convergence_soak_from_archive_matches_torch(
+        self, reference_module, tmp_path
+    ):
+        """Multi-epoch convergence soak from a real HDF5 archive through the
+        FULL Trainer (threaded loader -> prefetch -> jitted step -> metrics
+        sink) vs a torch twin consuming the identical batch stream
+        (VERDICT r3 next #4c): per-epoch train-loss curves must track, and
+        both must decrease. Catches pipeline-order, normalization, zenith
+        and LR-schedule drift end-to-end, not just step math."""
+        import importlib
+        import json
+
+        import h5py
+        import jax
+        import jax.numpy as jnp
+
+        from swin_v2_weather_tpu.config.yparams import YParams, default_config_path
+        from swin_v2_weather_tpu.data.conditioning import static_features
+        from swin_v2_weather_tpu.data.pipeline import get_data_loader
+        from swin_v2_weather_tpu.data.preprocess import derived_channel_counts
+        from swin_v2_weather_tpu.training.optim import CosineAnnealingLR
+        from swin_v2_weather_tpu.training.trainer import Trainer
+
+        _install_torch_harmonics_shim()
+        sys.path.insert(0, REFERENCE)
+        try:
+            ref_losses = importlib.import_module("utils.losses")
+        finally:
+            sys.path.remove(REFERENCE)
+
+        # --- archive + stats (micro geometry: 4ch, 25x48 -> 24x48 crop) ---
+        rng = np.random.default_rng(11)
+        n_ch, rows, cols = 4, 25, 48
+        os.makedirs(tmp_path / "data" / "train", exist_ok=True)
+        os.makedirs(tmp_path / "data" / "test", exist_ok=True)
+        # smooth-ish fields so training has signal to fit
+        base = rng.standard_normal((1, n_ch, rows, cols)).astype(np.float32)
+        drift = rng.standard_normal((1, n_ch, rows, cols)).astype(np.float32)
+        t_train = 28
+        fields = base + 0.05 * drift * np.arange(t_train).reshape(-1, 1, 1, 1) \
+            + 0.1 * rng.standard_normal((t_train, n_ch, rows, cols)).astype(np.float32)
+        with h5py.File(tmp_path / "data" / "train" / "2015.h5", "w") as f:
+            f.create_dataset("fields", data=fields.astype(np.float32))
+        with h5py.File(tmp_path / "data" / "test" / "2016.h5", "w") as f:
+            f.create_dataset(
+                "fields",
+                data=rng.standard_normal((8, n_ch, rows, cols)).astype(np.float32),
+            )
+        np.save(tmp_path / "global_means.npy", np.zeros((1, n_ch, 1, 1), np.float32))
+        np.save(tmp_path / "global_stds.npy", np.ones((1, n_ch, 1, 1), np.float32))
+        np.save(tmp_path / "time_diff_stds.npy",
+                (0.1 + rng.random((1, n_ch, 1, 1))).astype(np.float32))
+
+        n_epochs = 3
+        p = YParams(default_config_path(), "swin_micro_test")
+        p["exp_dir"] = str(tmp_path / "runs")
+        p["max_epochs"] = n_epochs
+        p["batch_size"] = 4
+        p["data_loader_config"] = "threaded"
+        p["train_data_path"] = str(tmp_path / "data" / "train")
+        p["valid_data_path"] = str(tmp_path / "data" / "test")
+        p["global_means_path"] = str(tmp_path / "global_means.npy")
+        p["global_stds_path"] = str(tmp_path / "global_stds.npy")
+        p["time_diff_stds_path"] = str(tmp_path / "time_diff_stds.npy")
+        p["drop_path_rate"] = 0.0  # deterministic trajectories
+        p["scheduler"] = "cosine"
+
+        # --- our side: the real Trainer ---
+        t = Trainer(p, "swin_micro_test", run_num="soak")
+        t.build()
+        # transplant torch-initialized weights so both sides start equal
+        ref_core = reference_module.SwinTransformerV2Cr(
+            img_size=(24, 48), patch_size=2, depths=(2,), num_heads=(2,),
+            in_chans=int(p["n_in_channels"]), out_chans=n_ch, embed_dim=64,
+            img_window_ratio=12, drop_path_rate=0.0, full_pos_embed=True,
+            rel_pos=False, mlp_ratio=4.0, checkpoint_stages=False,
+            residual=True,
+        ).eval()
+        g = torch.Generator().manual_seed(3)
+        with torch.no_grad():
+            for name, prm in ref_core.named_parameters():
+                if "norm" in name or "logit_scale" in name:
+                    prm.copy_(torch.randn(prm.shape, generator=g) * 0.3)
+        cfg = dict(CFG, in_chans=int(p["n_in_channels"]), out_chans=n_ch,
+                   embed_dim=64, depth=2)
+        template = jax.eval_shape(
+            lambda: t.model.init(
+                jax.random.key(0),
+                jnp.zeros((1, int(p["n_in_channels"]), 24, 48), jnp.float32),
+            )
+        )
+        mapped = {"model": torch_to_flax(ref_core, template["params"]["model"], cfg=cfg)}
+        t.state = t.state.replace(params=mapped)
+        t.train()
+
+        exp = os.path.join(str(tmp_path), "runs", "swin_micro_test", "soak")
+        logs = [json.loads(l) for l in open(os.path.join(exp, "logs.jsonl"))]
+        ours_curve = [rec["loss"] for rec in logs]
+        assert len(ours_curve) == n_epochs
+
+        # --- torch twin: identical batch stream from a second loader ---
+        loader, _ = get_data_loader(p, p["train_data_path"], train=True)
+        static = static_features(p)  # [3, 24, 48]
+        ref_loss = ref_losses.LossHandler(
+            types.SimpleNamespace(
+                n_future=0, img_shape_x=24, img_shape_y=48, loss=p.loss,
+                channel_weights="auto", channel_names=list(p.channel_names),
+                n_out_channels=n_ch,
+                global_stds_path=str(tmp_path / "global_stds.npy"),
+                time_diff_stds_path=str(tmp_path / "time_diff_stds.npy"),
+                out_channels=np.arange(n_ch), dt=int(p.dt),
+                model_grid_type=str(p.model_grid_type),
+            )
+        ).train()
+        opt_t = torch.optim.Adam(
+            ref_core.parameters(), lr=float(p.lr), betas=(0.9, 0.95)
+        )
+        sched = CosineAnnealingLR(float(p.lr), t_max=n_epochs)
+        torch_curve = []
+        for epoch in range(n_epochs):
+            for grp in opt_t.param_groups:
+                grp["lr"] = float(sched.lr)
+            loader.set_epoch(epoch)
+            losses = []
+            for batch in loader:
+                inp = np.asarray(batch["inp"], np.float32)
+                zen = np.asarray(batch["zen_inp"], np.float32)
+                tar = np.asarray(batch["tar"], np.float32)
+                stat = np.broadcast_to(static[None], (inp.shape[0],) + static.shape)
+                full = torch.from_numpy(np.concatenate([inp, zen, stat], axis=1))
+                opt_t.zero_grad()
+                out = ref_core(full)
+                loss = ref_loss(out, torch.from_numpy(tar), full)
+                loss.backward()
+                opt_t.step()
+                losses.append(float(loss))
+            sched.step()
+            torch_curve.append(float(np.mean(losses)))
+
+        # both curves decrease and track each other
+        assert ours_curve[-1] < ours_curve[0]
+        assert torch_curve[-1] < torch_curve[0]
+        np.testing.assert_allclose(ours_curve, torch_curve, rtol=5e-3)
 
     def test_shift_mask_matches_reference_blocks(self, reference_module):
         """Our host-side mask equals the reference block's buffered mask."""

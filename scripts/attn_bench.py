@@ -135,6 +135,22 @@ def main():
         # subtract one fwd (the vjp's primal) amortized over iters: negligible
         results["v3_bwd_ms"] = bwd_chain(fwd, x, g0, args.iters) * 1e3
 
+    if "v3b" in which:
+        # v3 with the CPB bias riding the kernels (rel_pos=true path):
+        # overhead vs the v3 rows is the in-kernel bias cost
+        l = wh * ww
+        bias0 = jnp.asarray(rng.standard_normal((heads, l, l)) * 0.1, jnp.float32)
+
+        def fwdb(xx):
+            return wa.fused_window_attention_qkv(
+                xx, w_qkv, b_qkv, scale, (wh, ww), mask_pattern=patt, bias=bias0
+            )
+
+        results["v3b_fwd_ms"] = _time_chain(fwdb, x, args.iters) * 1e3
+        if not args.fwd_only:
+            g0 = jnp.asarray(rng.standard_normal((1, H, W, C)) * 0.5, jnp.bfloat16)
+            results["v3b_bwd_ms"] = bwd_chain(fwdb, x, g0, args.iters) * 1e3
+
     if "v3p" in which:
         # attention + the following proj matmul: the unit the model runs,
         # for apples-to-apples comparison with v6 (whose proj absorbs the

@@ -18,6 +18,15 @@ shape; reads come from the page cache after generation, so (a) bounds the
 decode+normalize+assembly machinery, not the disk.
 
 Usage: python scripts/loader_bench.py [--frames 24] [--device] [--e2e]
+                                      [--channels 73]
+
+--channels 8 runs the same pipeline on an 8-channel archive: ~66 MB/sample
+instead of ~600 MB, which fits through the dev-box tunnel's ~40 MB/s H2D
+link, so the loader -> prefetch-queue -> chip-step overlap can be validated
+END TO END here (e2e ~= max(compute, H2D) — VERDICT r3 next #7). The 73-ch
+run is recorded alongside as tunnel-bound for honesty; on a production TPU
+host (PCIe H2D, dozens of cores) the 73-ch input side is the measured
+1.31 GB/s/core x N workers vs the ~1.45 GB/s the 2.4 samples/s step needs.
 """
 
 from __future__ import annotations
@@ -32,42 +41,52 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ROOT = "/tmp/loader_bench"
-C, H, W = 73, 721, 1440
-FRAME_BYTES = C * H * W * 4
+H, W = 721, 1440
 
 
-def ensure_archive(frames: int) -> str:
+def ensure_archive(root: str, frames: int, channels: int) -> str:
     import h5py
 
-    data_dir = f"{ROOT}/data/train"
-    marker = f"{ROOT}/.complete_{frames}"
+    data_dir = f"{root}/data/train"
+    marker = f"{root}/.complete_{frames}"
     if os.path.exists(marker):
         return data_dir
     os.makedirs(data_dir, exist_ok=True)
-    os.makedirs(f"{ROOT}/stats", exist_ok=True)
+    os.makedirs(f"{root}/stats", exist_ok=True)
     rng = np.random.default_rng(0)
     path = f"{data_dir}/2015.h5"
     with h5py.File(path, "w") as f:
-        d = f.create_dataset("fields", shape=(frames, C, H, W), dtype=np.float32)
+        d = f.create_dataset("fields", shape=(frames, channels, H, W), dtype=np.float32)
         for t in range(frames):  # frame-at-a-time: bounded host memory
-            d[t] = rng.standard_normal((C, H, W)).astype(np.float32)
-    np.save(f"{ROOT}/stats/global_means.npy", np.zeros((1, C, 1, 1), np.float32))
-    np.save(f"{ROOT}/stats/global_stds.npy", np.ones((1, C, 1, 1), np.float32))
+            d[t] = rng.standard_normal((channels, H, W)).astype(np.float32)
+    np.save(f"{root}/stats/global_means.npy", np.zeros((1, channels, 1, 1), np.float32))
+    np.save(f"{root}/stats/global_stds.npy", np.ones((1, channels, 1, 1), np.float32))
     open(marker, "w").close()
     return data_dir
 
 
-def flagship_loader_params(data_dir: str):
+def flagship_loader_params(root: str, data_dir: str, channels: int):
     from __graft_entry__ import _flagship_params
 
     params = _flagship_params()
+    if channels != 73:
+        # channel-reduced variant of the flagship: same network geometry
+        # (embed 768, depth 12, 720x1440 — compute is within a few percent
+        # of the 73-ch step since attention/MLP dominate), but the field
+        # payload shrinks to what the dev tunnel's H2D link can move
+        params["in_channels"] = np.arange(channels)
+        params["out_channels"] = np.arange(channels)
+        params["channel_names"] = list(params["channel_names"])[:channels]
+        from swin_v2_weather_tpu.data.preprocess import derived_channel_counts
+
+        n_in, n_out = derived_channel_counts(params)
+        params["n_in_channels"], params["n_out_channels"] = n_in, n_out
     params["train_data_path"] = data_dir
-    params["global_means_path"] = f"{ROOT}/stats/global_means.npy"
-    params["global_stds_path"] = f"{ROOT}/stats/global_stds.npy"
-    tds = f"{ROOT}/stats/time_diff_stds.npy"
+    params["global_means_path"] = f"{root}/stats/global_means.npy"
+    params["global_stds_path"] = f"{root}/stats/global_stds.npy"
+    tds = f"{root}/stats/time_diff_stds.npy"
     if not os.path.exists(tds):
-        np.save(tds, np.ones((1, C, 1, 1), np.float32))
+        np.save(tds, np.ones((1, channels, 1, 1), np.float32))
     params["time_diff_stds_path"] = tds
     params["data_loader_config"] = "threaded"
     params["local_batch_size"] = 1
@@ -83,17 +102,29 @@ def main():
     ap.add_argument("--device", action="store_true", help="also time H2D prefetch")
     ap.add_argument("--e2e", action="store_true", help="full train step on real batches")
     ap.add_argument("--workers", type=int, default=0, help="0 = config default")
+    ap.add_argument(
+        "--channels", type=int, default=73,
+        help="archive channel count (73 = real ERA5 payload; 8 fits the dev "
+        "tunnel's H2D link for end-to-end overlap validation)",
+    )
     args = ap.parse_args()
 
-    data_dir = ensure_archive(args.frames)
-    params = flagship_loader_params(data_dir)
+    C = args.channels
+    frame_bytes = C * H * W * 4
+    root = "/tmp/loader_bench" if C == 73 else f"/tmp/loader_bench_c{C}"
+    data_dir = ensure_archive(root, args.frames, C)
+    params = flagship_loader_params(root, data_dir, C)
     if args.workers:
         params["num_data_workers"] = args.workers
 
     from swin_v2_weather_tpu.data.pipeline import device_prefetch, get_data_loader
 
     loader, dataset = get_data_loader(params, data_dir, train=True)
-    result = {"frames": args.frames, "native": dataset._native is not None}
+    result = {
+        "frames": args.frames,
+        "channels": C,
+        "native": dataset._native is not None,
+    }
 
     # (a) loader-only: steady-state over n batches (sample pair = inp+tar)
     it = iter(loader)
@@ -108,7 +139,7 @@ def main():
     sps = n / dt
     result["loader_samples_per_s"] = round(sps, 3)
     # each sample reads inp + tar frames (73 ch each) and normalizes them
-    result["loader_GBps"] = round(sps * 2 * FRAME_BYTES / 1e9, 3)
+    result["loader_GBps"] = round(sps * 2 * frame_bytes / 1e9, 3)
 
     if args.device or args.e2e:
         import jax
@@ -140,7 +171,7 @@ def main():
         _ = float(jnp.sum(last["inp"]))  # force the H2D queue to drain
         dt = time.perf_counter() - t0
         result["device_samples_per_s"] = round(n / dt, 3)
-        result["device_GBps"] = round(n / dt * 2 * FRAME_BYTES / 1e9, 3)
+        result["device_GBps"] = round(n / dt * 2 * frame_bytes / 1e9, 3)
 
     if args.e2e:
         import jax
@@ -175,9 +206,11 @@ def main():
         state, metrics = step(state, next(stream), key)
         _ = float(metrics["loss"])
         n = 0
+        last = None
         t0 = time.perf_counter()
         for batch in stream:
             state, metrics = step(state, batch, key)
+            last = batch
             n += 1
             if n >= args.batches:
                 break
@@ -185,6 +218,21 @@ def main():
         dt = (time.perf_counter() - t0) / n
         result["e2e_ms_per_step"] = round(dt * 1e3, 1)
         result["e2e_samples_per_s"] = round(1.0 / dt, 3)
+
+        # compute-only floor on the SAME (already device-resident) batch:
+        # the overlap claim is e2e ~= max(compute, input-side)
+        for _ in range(2):
+            state, metrics = step(state, last, key)
+        _ = float(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(max(4, args.batches // 2)):
+            state, metrics = step(state, last, key)
+        _ = float(metrics["loss"])
+        cdt = (time.perf_counter() - t0) / max(4, args.batches // 2)
+        result["compute_ms_per_step"] = round(cdt * 1e3, 1)
+        result["e2e_over_max_legs"] = round(
+            dt / max(cdt, 1.0 / result.get("device_samples_per_s", 1e9)), 3
+        ) if "device_samples_per_s" in result else None
 
     print(json.dumps(result))
 

@@ -1,0 +1,99 @@
+"""Assemble LOADER_rNN.json: input-pipeline throughput + e2e overlap proof.
+
+Runs scripts/loader_bench.py in three configurations and writes one artifact
+(VERDICT r3 next #7):
+
+  1. 73-channel loader-only — the real ERA5 payload through the native C++
+     reader + ThreadedLoader (host-side rate, the number that must beat
+     ~1.45 GB/s/chip-pair of cores in production).
+  2. 8-channel end-to-end — archive -> loader -> prefetch queue -> real
+     train step on the chip. At 8 channels the ~66 MB/sample H2D fits the
+     dev tunnel, so this validates the OVERLAP claim: e2e step time ~=
+     max(compute, input legs), not their sum.
+  3. 73-channel end-to-end — recorded honestly as tunnel-bound (the dev
+     box's ~40 MB/s H2D link moves ~600 MB/sample; a production TPU host's
+     PCIe does not have this wall).
+
+Usage: python scripts/loader_report.py [--out LOADER_r04.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(args: list) -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "loader_bench.py"), *args],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"loader_bench {args} produced no JSON:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "LOADER_r04.json"))
+    ap.add_argument("--batches", type=int, default=12)
+    args = ap.parse_args()
+
+    out = {}
+    print("1/3: 73-ch loader-only ...", flush=True)
+    out["fullres_73ch_loader_only"] = run_bench(
+        ["--channels", "73", "--batches", "20"]
+    )
+    print(json.dumps(out["fullres_73ch_loader_only"]))
+
+    print("2/3: 8-ch end-to-end (loader -> prefetch -> chip step) ...", flush=True)
+    r8 = run_bench(
+        ["--channels", "8", "--frames", "48", "--device", "--e2e",
+         "--batches", str(args.batches)]
+    )
+    out["tunnel_feasible_8ch_e2e"] = r8
+    print(json.dumps(r8))
+    if "e2e_ms_per_step" in r8 and "compute_ms_per_step" in r8:
+        input_leg_ms = 1e3 / max(
+            r8.get("device_samples_per_s", 1e9), 1e-9
+        )
+        bound = max(r8["compute_ms_per_step"], input_leg_ms)
+        out["overlap_check"] = {
+            "compute_ms": r8["compute_ms_per_step"],
+            "input_leg_ms": round(input_leg_ms, 1),
+            "e2e_ms": r8["e2e_ms_per_step"],
+            "e2e_over_max_legs": round(r8["e2e_ms_per_step"] / bound, 3),
+            "claim": "overlapped if e2e ~= max(legs), i.e. ratio ~1.0 "
+                     "(sum of legs would be "
+                     f"{round(r8['compute_ms_per_step'] + input_leg_ms, 1)} ms)",
+        }
+
+    print("3/3: 73-ch end-to-end (expected tunnel-bound on this dev box) ...",
+          flush=True)
+    try:
+        out["fullres_73ch_e2e_tunnel_bound"] = run_bench(
+            ["--channels", "73", "--device", "--e2e", "--batches", "4"]
+        )
+        out["fullres_73ch_e2e_tunnel_bound"]["note"] = (
+            "dev-box H2D is a ~40 MB/s tunnel (LOADER_r03.json.h2d_device_leg); "
+            "~600 MB/sample makes this leg the wall here, not on a real host"
+        )
+    except RuntimeError as e:  # record rather than fail the artifact
+        out["fullres_73ch_e2e_tunnel_bound"] = {"error": str(e)[:500]}
+
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -158,6 +158,36 @@ def make_log_relative_coords(window_size: Tuple[int, int]) -> np.ndarray:
     return np.sign(rel) * np.log1p(np.abs(rel))
 
 
+@lru_cache(maxsize=16)
+def make_log_relative_coords_unique(window_size: Tuple[int, int]):
+    """Distinct-delta CPB table: ``(coords [D, 2], idx [L*L] int32)``.
+
+    The [L*L, 2] pairwise table of :func:`make_log_relative_coords` contains
+    only ``D = (2*wh-1) * (2*ww-1)`` distinct rows (595 for the 9x18 weather
+    window vs 26,244 pairs), because the coordinate is a pure function of
+    the delta. Running the CPB meta-MLP on the distinct rows and expanding
+    with a static gather (``table[idx]`` == the full pairwise table, exact)
+    removes ~98% of the meta-MLP compute, its hidden activations and its
+    dropout RNG draws from every block — measured ~25 ms/step at flagship
+    shape, almost entirely XLA small-op and RNG overhead, not FLOPs.
+    """
+    wh, ww = window_size
+    dr = np.arange(-(wh - 1), wh)
+    dc = np.arange(-(ww - 1), ww)
+    # float32 BEFORE log1p: bitwise-identical to make_log_relative_coords
+    deltas = (
+        np.stack(np.meshgrid(dr, dc, indexing="ij"), axis=-1)
+        .reshape(-1, 2)
+        .astype(np.float32)
+    )
+    coords = np.sign(deltas) * np.log1p(np.abs(deltas))
+
+    pos = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij")).reshape(2, -1)
+    rel = (pos[:, :, None] - pos[:, None, :]).transpose(1, 2, 0).reshape(-1, 2)
+    idx = (rel[:, 0] + wh - 1) * (2 * ww - 1) + (rel[:, 1] + ww - 1)
+    return coords, idx.astype(np.int32)
+
+
 def calc_window_shift(
     feat_size: Tuple[int, int], target_window: Tuple[int, int], target_shift: Tuple[int, int]
 ) -> Tuple[Tuple[int, int], Tuple[int, int]]:
@@ -179,6 +209,11 @@ def calc_window_shift(
 # convert_reduce LN fusions (ROADMAP lever 1). fp32 accumulation keeps the
 # cancellation error ~2^-24 * mean^2, negligible for O(1-10) activations.
 LN_IMPL = _os.environ.get("SWIN_LN_IMPL", "twopass")
+
+# CPB meta-MLP dedup (rel_pos configs): 1 (default) = evaluate on the
+# distinct relative deltas + static gather; 0 = the reference-shaped
+# per-pair evaluation (A/B + exact per-pair dropout semantics).
+CPB_UNIQUE = _os.environ.get("SWIN_CPB_UNIQUE", "1") != "0"
 if LN_IMPL not in ("twopass", "onepass"):
     raise ValueError(
         f"SWIN_LN_IMPL={LN_IMPL!r} invalid; expected 'twopass' or 'onepass'"
@@ -443,11 +478,30 @@ class WindowAttention(nn.Module):
 
         bias = None
         if self.rel_pos:
-            rel_coords = jnp.asarray(make_log_relative_coords(self.window_size))
-            cpb = CpbMlp(self.num_heads, dtype=self.dtype, name="meta_mlp")(
-                rel_coords, deterministic=deterministic
-            )  # [L*L, heads]
+            if CPB_UNIQUE:
+                # evaluate the meta-MLP on the D distinct deltas only and
+                # expand with a static gather — exact (every pair's row is
+                # the same function of its delta), except that the hidden-
+                # layer dropout draws one mask per distinct delta instead of
+                # one per pair (the reference regularizes per pair; no
+                # reference config enables rel_pos, and deterministic/eval
+                # is bitwise-identical either way)
+                coords_u, idx = make_log_relative_coords_unique(self.window_size)
+                cpb = CpbMlp(self.num_heads, dtype=self.dtype, name="meta_mlp")(
+                    jnp.asarray(coords_u), deterministic=deterministic
+                )  # [D, heads]
+                cpb = jnp.take(cpb, jnp.asarray(idx), axis=0)  # [L*L, heads]
+            else:
+                rel_coords = jnp.asarray(make_log_relative_coords(self.window_size))
+                cpb = CpbMlp(self.num_heads, dtype=self.dtype, name="meta_mlp")(
+                    rel_coords, deterministic=deterministic
+                )  # [L*L, heads]
             bias = cpb.transpose(1, 0).reshape(self.num_heads, l, l)
+            # tiny (heads*L*L ~ 0.8 MB): always worth saving under remat so
+            # the backward never re-runs the CPB graph (see _remat_policy)
+            from jax.ad_checkpoint import checkpoint_name
+
+            bias = checkpoint_name(bias, "cpb_bias")
 
         if grid_input and self.attn_impl == "pallas_qkv":
             # v3/v6: the qkv projection itself runs inside the kernel (the
@@ -903,6 +957,10 @@ class SwinTransformerV2(nn.Module):
             if fused_ln:
                 drop |= {"attn_out", "mlp_out"}
             keep = [n for n in ns if n not in drop]
+            if self.rel_pos:
+                # ~0.8 MB/block: saving it means backward never re-runs the
+                # CPB meta-MLP graph (harmless no-op for rel_pos=false)
+                keep.append("cpb_bias")
             return jax.checkpoint_policies.save_only_these_names(*keep)
 
         if self.remat_policy == "attn":

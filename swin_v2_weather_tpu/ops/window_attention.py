@@ -1152,8 +1152,12 @@ def _make_qkv_kernel(wh: int, ww: int, nc: int, heads: int, n_window_rows: int,
         b_ref = refs[i]; i += 1
         mask_ref = refs[i] if has_mask else None; i += has_mask
         bflag_ref = refs[i] if has_mask else None; i += has_mask
-        # CPB relative-position bias [heads, L, L] fp32, row-max-shifted on
-        # the host so z stays <= 0 and the max-free softmax stays rigorous
+        # CPB additive term [hb, L, L] fp32, head-major-repeated and
+        # pre-folded on the host as badd = shifted_bias - scale, so the
+        # in-kernel logits are z = s*scale + badd — the bias rides the
+        # existing multiply-add traversal instead of costing its own
+        # reshape/broadcast VPU pass (z <= 0 bound preserved: s <= 1 and
+        # shifted_bias <= 0 give z <= (s-1)*scale <= 0)
         bias_ref = refs[i] if has_bias else None; i += has_bias
         out_ref = refs[i]; i += 1
         qkv_ref = refs[i]
@@ -1263,16 +1267,12 @@ def _make_qkv_kernel(wh: int, ww: int, nc: int, heads: int, n_window_rows: int,
                 e16 = (s_c[ci] * 0.01).astype(jnp.bfloat16)
                 r = jnp.float32(1.0)
             else:
-                z = (s_c[ci] - 1.0) * scl
                 if has_bias:
-                    # per-head bias broadcast over the nc windows of the
-                    # chunk: split the head-major batch dim (a free view)
-                    # rather than materializing a repeated copy
-                    hpc_b = heads // n_ch
-                    z = (
-                        z.reshape(hpc_b, nc, l, l)
-                        + bias_ref[ci * hpc_b : (ci + 1) * hpc_b, :, :][:, None]
-                    ).reshape(sz, l, l)
+                    # z = s*scale + (shifted_bias - scale): one fused FMA
+                    # pass, no reshape (badd arrives pre-repeated [hb, L, L])
+                    z = s_c[ci] * scl + bias_ref[lo:hi]
+                else:
+                    z = (s_c[ci] - 1.0) * scl
                 if mask_add is not None:
                     z = z + mask_add
                 e = jnp.exp(z)
@@ -1349,10 +1349,14 @@ def _qkv_forward(x, w_qkv, b_qkv, scale, mask_pattern, window, interpret,
     if bias is not None:
         in_specs.append(
             pl.BlockSpec(
-                (heads, l, l), lambda bi, r, wcix: (0, 0, 0), memory_space=pltpu.VMEM
+                (hb, l, l), lambda bi, r, wcix: (0, 0, 0), memory_space=pltpu.VMEM
             )
         )
-        args.append(bias.astype(jnp.float32))
+        # badd = shifted_bias - scale, repeated per window lane (head-major,
+        # matching shb): the kernel's logits become z = s*scale + badd in the
+        # same FMA traversal the bias-free path already pays
+        badd = bias.astype(jnp.float32) - scale_f[:, None, None]
+        args.append(jnp.repeat(badd, nc, axis=0))
 
     kernel = _make_qkv_kernel(wh, ww, nc, heads, nwh, has_mask,
                               has_bias=bias is not None)
@@ -1510,12 +1514,11 @@ def _make_qkv_bwd_kernel(wh: int, ww: int, nc: int, heads: int,
                     preferred_element_type=jnp.float32,
                 )
             scl = shb_ref[lo:hi, :].reshape(sz, 1, 1)
-            z = (s_c[ci] - 1.0) * scl
             if has_bias:
-                z = (
-                    z.reshape(hpc, nc, l, l)
-                    + bias_ref[ci * hpc : (ci + 1) * hpc, :, :][:, None]
-                ).reshape(sz, l, l)
+                # fused FMA with the pre-repeated badd (see the fwd kernel)
+                z = s_c[ci] * scl + bias_ref[lo:hi]
+            else:
+                z = (s_c[ci] - 1.0) * scl
             if has_mask:
                 z = z + mask_add
             e = jnp.exp(z)
@@ -1534,17 +1537,16 @@ def _make_qkv_bwd_kernel(wh: int, ww: int, nc: int, heads: int,
                 preferred_element_type=jnp.float32,
             )  # [sz, L, L]
             u = jnp.sum(dp * e, axis=-1, keepdims=True)
+            # ds (the s_pre cotangent) in ONE fused pass, bias or not
+            dsf = (dp - u * r) * e * (r * scl)
             if has_bias:
-                # dz = softmax vjp (no scale factor): the bias cotangent,
-                # summed over this chunk's nc windows into the VMEM-resident
-                # accumulator; dsb then folds in the per-head scale
-                dz = (dp - u * r) * (e * r)
-                dbias_ref[ci * hpc : (ci + 1) * hpc] += jnp.sum(
-                    dz.reshape(hpc, nc, l, l), axis=1
-                )
-                dsb = (dz * scl).astype(jnp.bfloat16)
-            else:
-                dsb = ((dp - u * r) * e * (r * scl)).astype(jnp.bfloat16)
+                # bias cotangent dz = ds/scale, accumulated PER WINDOW LANE
+                # ([hb, L, L], head-major) — no in-kernel reshape or
+                # window-sum; the nc lanes are reduced once outside the
+                # kernel. One read-modify-write pass, the only extra
+                # traversal the bias costs the backward.
+                dbias_ref[lo:hi] += dsf * (1.0 / scl)
+            dsb = dsf.astype(jnp.bfloat16)
             dqn = jax.lax.dot_general(
                 dsb, kn16[lo:hi],
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -1667,10 +1669,11 @@ def _qkv_backward(x, w_qkv, b_qkv, scale, g, mask_pattern, window, interpret,
     if has_bias:
         in_specs.append(
             pl.BlockSpec(
-                (heads, l, l), lambda bi, r, wcix: (0, 0, 0), memory_space=pltpu.VMEM
+                (hb, l, l), lambda bi, r, wcix: (0, 0, 0), memory_space=pltpu.VMEM
             )
         )
-        args.append(bias.astype(jnp.float32))
+        badd = bias.astype(jnp.float32) - scale_f[:, None, None]
+        args.append(jnp.repeat(badd, nc, axis=0))
 
     acc_spec = lambda shape: pl.BlockSpec(  # noqa: E731 — VMEM-resident accumulator
         shape, lambda bi, r, wcix: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -1685,8 +1688,8 @@ def _qkv_backward(x, w_qkv, b_qkv, scale, g, mask_pattern, window, interpret,
         jax.ShapeDtypeStruct((8, 128), jnp.float32),
     ]
     if has_bias:
-        out_specs.append(acc_spec((heads, l, l)))
-        out_shapes.append(jax.ShapeDtypeStruct((heads, l, l), jnp.float32))
+        out_specs.append(acc_spec((hb, l, l)))
+        out_shapes.append(jax.ShapeDtypeStruct((hb, l, l), jnp.float32))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1710,7 +1713,10 @@ def _qkv_backward(x, w_qkv, b_qkv, scale, g, mask_pattern, window, interpret,
     )(*args)
     dx, dw, db, dscale = outs[:4]
     if has_bias:
-        return dx, dw, db[0], dscale[0, :heads], outs[4]
+        # reduce the per-window-lane accumulator to [heads, L, L] (head-major
+        # lanes; one tiny XLA reduce vs an in-kernel pass per grid step)
+        dbias = jnp.sum(outs[4].reshape(heads, nc, l, l), axis=1)
+        return dx, dw, db[0], dscale[0, :heads], dbias
     return dx, dw, db[0], dscale[0, :heads]
 
 
@@ -1790,12 +1796,22 @@ def _build_qkv_bias(window, pattern_key, interpret: bool):
 
     The [heads, L, L] bias is row-max-shifted on the host (softmax is
     invariant to row-constant shifts) so the kernel's max-free softmax stays
-    rigorous: z = (s-1)*scale + bias_shift + mask <= 0, and each row keeps an
-    entry with bias_shift == 0, bounding the denominator below by
-    exp(-2*scale_max) ~= 1e-4. d(bias) w.r.t. the ORIGINAL bias equals
-    d(bias_shift): softmax-vjp rows sum to zero, so the row-max subtraction
-    contributes nothing. The same row-sum-zero argument keeps the in-kernel
-    d(scale) identity sum(dz*s) == sum(qn*dqn)/scale valid with bias.
+    rigorous: z = s*scale + (bias_shift - scale) + mask <= 0 (algebraically
+    (s-1)*scale + bias_shift), and each row keeps an entry with
+    bias_shift == 0, bounding the denominator below by exp(-2*scale_max)
+    ~= 1e-4. d(bias) w.r.t. the ORIGINAL bias equals d(bias_shift):
+    softmax-vjp rows sum to zero, so the row-max subtraction contributes
+    nothing. The same row-sum-zero argument keeps the in-kernel d(scale)
+    identity sum(dz*s) == sum(qn*dqn)/scale valid with bias.
+
+    Cost shape (the r4 restructure): the kernels receive the bias as a
+    pre-folded, head-major-repeated additive term badd = bias_shift - scale
+    [hb, L, L], so the forward's logit pass is the SAME single FMA traversal
+    the bias-free path runs (no broadcast/reshape pass), and the backward's
+    only extra traversal is the dbias read-modify-write into a per-window-
+    lane [hb, L, L] VMEM accumulator (window lanes reduced outside the
+    kernel). This took the rel_pos=true step from ~27 ms over the flagship
+    (four extra score-slab VPU passes) to the cost of one.
     """
     mask_pattern = None
     if pattern_key is not None:

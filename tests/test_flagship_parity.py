@@ -132,9 +132,19 @@ def forward_pair(transplanted, sample_batch):
 
 class TestFlagshipGoldenParity:
     def test_forward_matches_torch_at_full_resolution(self, forward_pair):
+        from tests.conftest import parity_record
+
         y_ref, y_ours = forward_pair
         assert y_ours.shape == y_ref.shape == (1, N_DATA, H, W)
         scale = float(np.abs(y_ref).max())
+        parity_record(
+            "flagship_fullres_forward",
+            {
+                "max_abs_diff": float(np.abs(y_ours - y_ref).max()),
+                "output_scale": scale,
+                "tolerance": 2e-3 * scale,
+            },
+        )
         np.testing.assert_allclose(y_ours, y_ref, atol=2e-3 * scale, rtol=2e-3)
 
     def test_flagship_loss_value_matches_torch(self, forward_pair, sample_batch, tmp_path):
@@ -213,6 +223,17 @@ class TestFlagshipGoldenParity:
         )
         # the two loss pipelines see near-identical (not bitwise-equal)
         # predictions, so match to the forward tolerance
+        from tests.conftest import parity_record
+
+        parity_record(
+            "flagship_fullres_loss",
+            {
+                "loss_ours": loss_ours,
+                "loss_torch": loss_ref,
+                "rel_diff": abs(loss_ours - loss_ref) / loss_ref,
+                "tolerance_rel": 5e-3,
+            },
+        )
         assert loss_ref > 0
         assert abs(loss_ours - loss_ref) / loss_ref < 5e-3, (loss_ours, loss_ref)
 
@@ -355,6 +376,22 @@ class TestFlagshipGoldenParity:
             )
             losses_j.append(float(loss))
 
+        from tests.conftest import parity_record
+
+        parity_record(
+            "flagship_fullres_2step_finetune_trajectory",
+            {
+                "losses_ours": losses_j,
+                "losses_torch": losses_t,
+                "max_rel_diff": float(
+                    np.max(
+                        np.abs(np.asarray(losses_j) - np.asarray(losses_t))
+                        / np.abs(losses_t)
+                    )
+                ),
+                "tolerance_rel": 2e-3,
+            },
+        )
         np.testing.assert_allclose(losses_j, losses_t, rtol=2e-3, atol=1e-7)
         # spot-check a trained parameter tensor after the 3 steps
         final_ref = torch_to_flax(ref_core, template["params"], cfg=c)
@@ -445,5 +482,21 @@ class TestFlagshipGoldenParity:
                 pred_phys - torch.from_numpy(clim[None]),
                 tar_phys - torch.from_numpy(clim[None]),
             ).numpy()
+        from tests.conftest import parity_record
+
+        parity_record(
+            "flagship_fullres_scored_rollout",
+            {
+                "pred_max_abs_diff": float(
+                    np.abs(pred_ours - pred_ref.numpy()).max()
+                ),
+                "pred_scale": scale,
+                "rmse_max_rel_diff": float(
+                    np.max(np.abs(scores["rmse"][0] - rmse_ref) / np.abs(rmse_ref))
+                ),
+                "acc_max_abs_diff": float(np.max(np.abs(scores["acc"][0] - acc_ref))),
+                "tolerance_rel": 2e-4,
+            },
+        )
         np.testing.assert_allclose(scores["rmse"][0], rmse_ref, rtol=2e-4, atol=1e-5)
         np.testing.assert_allclose(scores["acc"][0], acc_ref, rtol=2e-4, atol=1e-5)

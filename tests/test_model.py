@@ -328,6 +328,55 @@ def _activate_blocks(params):
     return jax.tree_util.tree_map_with_path(fix, params)
 
 
+class TestCpbUnique:
+    """Distinct-delta CPB evaluation (models/swin.py:make_log_relative_coords_unique)."""
+
+    def test_unique_table_expands_to_full(self):
+        from swin_v2_weather_tpu.models.swin import (
+            make_log_relative_coords,
+            make_log_relative_coords_unique,
+        )
+
+        for window in [(3, 6), (9, 18), (4, 4)]:
+            coords_u, idx = make_log_relative_coords_unique(window)
+            full = make_log_relative_coords(window)
+            wh, ww = window
+            assert coords_u.shape == ((2 * wh - 1) * (2 * ww - 1), 2)
+            assert idx.shape == ((wh * ww) ** 2,)
+            np.testing.assert_array_equal(coords_u[idx], full)
+
+    def test_model_output_and_grads_match_full_pairs(self, rng, monkeypatch):
+        """cpb-unique fwd + grads == the reference-shaped per-pair path
+        (deterministic mode; dropout off is the parity regime)."""
+        from swin_v2_weather_tpu.models import swin as swin_mod
+
+        x = jnp.asarray(rng.normal(size=(1, 5, 24, 48)), jnp.float32)
+        outs, grads = [], []
+        for unique in (True, False):
+            monkeypatch.setattr(swin_mod, "CPB_UNIQUE", unique)
+            model = tiny_model(full_pos_embed=False, rel_pos=True,
+                               drop_path_rate=0.0)
+            params = _activate_blocks(model.init(jax.random.key(0), x))
+
+            def loss(p):
+                return jnp.sum(model.apply(p, x) ** 2)
+
+            outs.append(np.asarray(model.apply(params, x)))
+            grads.append(jax.grad(loss)(params))
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+        flat0 = jax.tree_util.tree_leaves_with_path(grads[0])
+        flat1 = {jax.tree_util.keystr(k): v for k, v in
+                 jax.tree_util.tree_leaves_with_path(grads[1])}
+        for key, leaf in flat0:
+            ks = jax.tree_util.keystr(key)
+            # scatter-add (gather vjp) vs direct-matmul reduction order:
+            # bit-different accumulation, agreement to fp32 resolution
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(flat1[ks]), rtol=2e-5, atol=2e-5,
+                err_msg=ks,
+            )
+
+
 class TestPeriodicity:
     def test_longitude_roll_equivariance(self, rng):
         # no absolute pos embed, relative bias only -> rolling the input by a

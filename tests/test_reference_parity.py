@@ -732,6 +732,20 @@ class TestReferenceParity:
         # fp noise starts ~1e-7 and amplifies chaotically, so the allowed
         # rtol widens geometrically with step index and is capped.
         losses_j, losses_t = np.asarray(losses_j), np.asarray(losses_t)
+        from tests.conftest import parity_record
+
+        rel = np.abs(losses_j - losses_t) / np.abs(losses_t)
+        parity_record(
+            "trajectory_100step_flagship_loss",
+            {
+                "n_steps": int(n_steps),
+                "per_step_rel_diff": rel,
+                "max_rel_diff": float(rel.max()),
+                "argmax_step": int(rel.argmax()),
+                "last10_mean_ours": float(losses_j[-10:].mean()),
+                "last10_mean_torch": float(losses_t[-10:].mean()),
+            },
+        )
         for k in range(n_steps):
             rtol_k = min(2e-2, 5e-4 * (1.08 ** max(0, k - 4)))
             assert abs(losses_j[k] - losses_t[k]) <= rtol_k * abs(losses_t[k]) + 1e-7, (
@@ -893,6 +907,23 @@ class TestReferenceParity:
             torch_curve.append(float(np.mean(losses)))
 
         # both curves decrease and track each other
+        from tests.conftest import parity_record
+
+        parity_record(
+            "convergence_soak_archive_trainer",
+            {
+                "epochs": n_epochs,
+                "curve_ours": ours_curve,
+                "curve_torch": torch_curve,
+                "max_rel_diff": float(
+                    np.max(
+                        np.abs(np.asarray(ours_curve) - np.asarray(torch_curve))
+                        / np.abs(torch_curve)
+                    )
+                ),
+                "tolerance_rel": 5e-3,
+            },
+        )
         assert ours_curve[-1] < ours_curve[0]
         assert torch_curve[-1] < torch_curve[0]
         np.testing.assert_allclose(ours_curve, torch_curve, rtol=5e-3)

@@ -188,6 +188,23 @@ def make_log_relative_coords_unique(window_size: Tuple[int, int]):
     return coords, idx.astype(np.int32)
 
 
+@lru_cache(maxsize=16)
+def _cpb_expand_onehot(window_size: Tuple[int, int]) -> np.ndarray:
+    """Static 0/1 expansion matrix [D, L*L]: ``onehot[d, p] = (idx[p] == d)``.
+
+    ``cpb.T [heads, D] @ onehot`` == the gathered-and-transposed full
+    pairwise bias [heads, L*L], exactly (fp32 products with 0/1 are exact).
+    ~62 MB fp32 at the 9x18 weather window — an HBM-resident constant the
+    MXU streams once per block, replacing the gather+transpose fusion pair
+    (forward) and the scatter-add (backward of ``jnp.take``).
+    """
+    _, idx = make_log_relative_coords_unique(window_size)
+    d = (2 * window_size[0] - 1) * (2 * window_size[1] - 1)
+    m = np.zeros((d, idx.shape[0]), np.float32)
+    m[idx, np.arange(idx.shape[0])] = 1.0
+    return m
+
+
 def calc_window_shift(
     feat_size: Tuple[int, int], target_window: Tuple[int, int], target_shift: Tuple[int, int]
 ) -> Tuple[Tuple[int, int], Tuple[int, int]]:
@@ -214,6 +231,17 @@ LN_IMPL = _os.environ.get("SWIN_LN_IMPL", "twopass")
 # distinct relative deltas + static gather; 0 = the reference-shaped
 # per-pair evaluation (A/B + exact per-pair dropout semantics).
 CPB_UNIQUE = _os.environ.get("SWIN_CPB_UNIQUE", "1") != "0"
+# How the [D, heads] unique CPB table expands to [heads, L, L]:
+#   'dot'  (default) — one fp32 matmul against a static 0/1 [D, L*L] matrix,
+#          exact (each output picks exactly one table value * 1.0). One MXU
+#          op replaces the [L*L, heads] gather + the minor-dim transpose,
+#          and the BACKWARD becomes a matmul instead of a scatter-add.
+#   'take' — jnp.take + transpose (the r4s1 form, kept for A/B).
+CPB_EXPAND = _os.environ.get("SWIN_CPB_EXPAND", "dot")
+if CPB_EXPAND not in ("dot", "take"):
+    raise ValueError(
+        f"SWIN_CPB_EXPAND={CPB_EXPAND!r} invalid; expected 'dot' or 'take'"
+    )
 if LN_IMPL not in ("twopass", "onepass"):
     raise ValueError(
         f"SWIN_LN_IMPL={LN_IMPL!r} invalid; expected 'twopass' or 'onepass'"
@@ -490,18 +518,29 @@ class WindowAttention(nn.Module):
                 cpb = CpbMlp(self.num_heads, dtype=self.dtype, name="meta_mlp")(
                     jnp.asarray(coords_u), deterministic=deterministic
                 )  # [D, heads]
-                cpb = jnp.take(cpb, jnp.asarray(idx), axis=0)  # [L*L, heads]
+                if CPB_EXPAND == "dot":
+                    bias = jax.lax.dot_general(
+                        cpb.astype(jnp.float32).T,
+                        jnp.asarray(_cpb_expand_onehot(self.window_size)),
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                    ).reshape(self.num_heads, l, l)
+                else:
+                    cpb = jnp.take(cpb, jnp.asarray(idx), axis=0)  # [L*L, heads]
+                    bias = cpb.transpose(1, 0).reshape(self.num_heads, l, l)
             else:
                 rel_coords = jnp.asarray(make_log_relative_coords(self.window_size))
                 cpb = CpbMlp(self.num_heads, dtype=self.dtype, name="meta_mlp")(
                     rel_coords, deterministic=deterministic
                 )  # [L*L, heads]
-            bias = cpb.transpose(1, 0).reshape(self.num_heads, l, l)
+                bias = cpb.transpose(1, 0).reshape(self.num_heads, l, l)
             # tiny (heads*L*L ~ 0.8 MB): always worth saving under remat so
-            # the backward never re-runs the CPB graph (see _remat_policy)
+            # the backward never re-runs the CPB graph (see _remat_policy).
+            # The pallas_qkv path below saves the FOLDED term instead (same
+            # name) so its backward skips the shift/fold chain too.
             from jax.ad_checkpoint import checkpoint_name
 
-            bias = checkpoint_name(bias, "cpb_bias")
+            if not (grid_input and self.attn_impl == "pallas_qkv"):
+                bias = checkpoint_name(bias, "cpb_bias")
 
         if grid_input and self.attn_impl == "pallas_qkv":
             # v3/v6: the qkv projection itself runs inside the kernel (the
@@ -516,6 +555,14 @@ class WindowAttention(nn.Module):
             w_b = QkvParams(features=3 * c, in_features=c, name="qkv")()
             pattern = mask[-1] if mask is not None else None
             from jax.ad_checkpoint import checkpoint_name
+
+            if bias is not None:
+                # fold shift + scale ONCE here (r4s2): the saved "cpb_bias"
+                # is the kernel-ready badd_base, so the backward's remat
+                # recompute reads it and only the per-window-lane repeat
+                # remains outside the kernels (see wa.fold_cpb_bias)
+                bias = wa.fold_cpb_bias(bias, scale)
+                bias = checkpoint_name(bias, "cpb_bias")
 
             if wa.QKV_IMPL == "v6" and bias is None:
                 # lane-aligned padded-head kernel: [B,H,W,heads*128] with
@@ -544,6 +591,7 @@ class WindowAttention(nn.Module):
                 x, w_b[0].astype(self.dtype or x.dtype), w_b[1], scale,
                 self.window_size, mask_pattern=pattern,
                 boundary_flag=boundary_flag, bias=bias,
+                bias_prefolded=bias is not None,
             )
             # saving this under remat_policy='mlp' means backward never
             # re-runs the attention kernel (the proj vjp needs its input)

@@ -1299,7 +1299,8 @@ def _make_qkv_kernel(wh: int, ww: int, nc: int, heads: int, n_window_rows: int,
 
 
 def _qkv_forward(x, w_qkv, b_qkv, scale, mask_pattern, window, interpret,
-                 w_chunk_windows: int = None, bflag=None, bias=None):
+                 w_chunk_windows: int = None, bflag=None, bias=None,
+                 prefolded: bool = False):
     if w_chunk_windows is None:
         w_chunk_windows = QKV_FWD_WC
     b, h, w, c_in = x.shape
@@ -1354,8 +1355,13 @@ def _qkv_forward(x, w_qkv, b_qkv, scale, mask_pattern, window, interpret,
         )
         # badd = shifted_bias - scale, repeated per window lane (head-major,
         # matching shb): the kernel's logits become z = s*scale + badd in the
-        # same FMA traversal the bias-free path already pays
-        badd = bias.astype(jnp.float32) - scale_f[:, None, None]
+        # same FMA traversal the bias-free path already pays. With
+        # prefolded=True the caller passes badd directly (fold_cpb_bias,
+        # computed ONCE per block and checkpoint-saved — the backward's remat
+        # recompute then skips the shift/fold chain entirely).
+        badd = bias.astype(jnp.float32)
+        if not prefolded:
+            badd = badd - scale_f[:, None, None]
         args.append(jnp.repeat(badd, nc, axis=0))
 
     kernel = _make_qkv_kernel(wh, ww, nc, heads, nwh, has_mask,
@@ -1616,7 +1622,8 @@ def _make_qkv_bwd_kernel(wh: int, ww: int, nc: int, heads: int,
 
 
 def _qkv_backward(x, w_qkv, b_qkv, scale, g, mask_pattern, window, interpret,
-                  w_chunk_windows: int = None, bflag=None, bias=None):
+                  w_chunk_windows: int = None, bflag=None, bias=None,
+                  prefolded: bool = False):
     if w_chunk_windows is None:
         w_chunk_windows = QKV_BWD_WC
     b, h, w, c_in = x.shape
@@ -1672,7 +1679,9 @@ def _qkv_backward(x, w_qkv, b_qkv, scale, g, mask_pattern, window, interpret,
                 (hb, l, l), lambda bi, r, wcix: (0, 0, 0), memory_space=pltpu.VMEM
             )
         )
-        badd = bias.astype(jnp.float32) - scale_f[:, None, None]
+        badd = bias.astype(jnp.float32)
+        if not prefolded:
+            badd = badd - scale_f[:, None, None]
         args.append(jnp.repeat(badd, nc, axis=0))
 
     acc_spec = lambda shape: pl.BlockSpec(  # noqa: E731 — VMEM-resident accumulator
@@ -1790,8 +1799,29 @@ def _build_qkv(window, pattern_key, interpret: bool):
     return fused
 
 
+def fold_cpb_bias(bias: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """Pre-fold the CPB bias into the kernel-ready additive term.
+
+    ``badd_base = (bias - rowmax(bias)) - scale``, fp32 [heads, L, L] — the
+    exact term the v3 kernels add to the scaled cosine scores (see
+    :func:`_build_qkv_bias` for the softmax-rigor argument). Folding in the
+    MODEL (once, under a ``checkpoint_name`` save) instead of inside the
+    custom_vjp means neither the forward nor the backward's remat recompute
+    re-runs the shift/fold chain — the r4 profile showed those ~7 small
+    bias-pipeline fusions per block cost ~8 ms/step at flagship shape.
+
+    Gradient: d(badd)/d(bias) is the identity (the rowmax is
+    ``stop_gradient``) and the ``-scale`` fold contributes
+    ``-sum_[L,L](d_badd)`` to d(scale) — algebraically zero, because the
+    softmax vjp's rows sum to zero; XLA computes the tiny [heads] reduce.
+    """
+    b32 = bias.astype(jnp.float32)
+    shifted = b32 - jax.lax.stop_gradient(jnp.max(b32, axis=-1, keepdims=True))
+    return shifted - scale.astype(jnp.float32)[:, None, None]
+
+
 @functools.lru_cache(maxsize=64)
-def _build_qkv_bias(window, pattern_key, interpret: bool):
+def _build_qkv_bias(window, pattern_key, interpret: bool, prefolded: bool = False):
     """v3 qkv-fused kernel with the CPB relative-position bias (exact).
 
     The [heads, L, L] bias is row-max-shifted on the host (softmax is
@@ -1818,14 +1848,22 @@ def _build_qkv_bias(window, pattern_key, interpret: bool):
         buf, shape = pattern_key
         mask_pattern = np.frombuffer(buf, np.float32).reshape(shape)
 
-    def _shift(bias):
-        b32 = bias.astype(jnp.float32)
-        return b32 - jax.lax.stop_gradient(jnp.max(b32, axis=-1, keepdims=True))
+    if prefolded:
+        # ``bias`` arriving here IS badd_base = fold_cpb_bias(raw_bias, scale)
+        # (computed once in the model and checkpoint-saved); no shift/fold
+        # anywhere in this build. d(bias) returned is d(badd_base), which the
+        # model-side fold chains back to the raw bias (identity) and scale.
+        def _shift(bias):
+            return bias
+    else:
+        def _shift(bias):
+            b32 = bias.astype(jnp.float32)
+            return b32 - jax.lax.stop_gradient(jnp.max(b32, axis=-1, keepdims=True))
 
     @jax.custom_vjp
     def fused(x, w_qkv, b_qkv, scale, bias, bflag):
         return _qkv_forward(x, w_qkv, b_qkv, scale, mask_pattern, window, interpret,
-                            bflag=bflag, bias=_shift(bias))
+                            bflag=bflag, bias=_shift(bias), prefolded=prefolded)
 
     def f_fwd(x, w_qkv, b_qkv, scale, bias, bflag):
         return (
@@ -1838,7 +1876,7 @@ def _build_qkv_bias(window, pattern_key, interpret: bool):
         if QKV_BWD_IMPL == "pallas":
             dx, dw, db, dscale, dbias = _qkv_backward(
                 x, w_qkv, b_qkv, scale, g, mask_pattern, window, interpret,
-                bflag=bflag, bias=_shift(bias),
+                bflag=bflag, bias=_shift(bias), prefolded=prefolded,
             )
             return (
                 dx,
@@ -2500,6 +2538,7 @@ def fused_window_attention_qkv(
     boundary_flag=None,  # scalar gate on the mask (spatial sharding)
     impl: Optional[str] = None,  # None = module default (SWIN_QKV_IMPL)
     bias: Optional[jnp.ndarray] = None,  # CPB [heads, L, L] (v3 schedule)
+    bias_prefolded: bool = False,  # bias is already fold_cpb_bias(raw, scale)
 ) -> jnp.ndarray:
     """qkv projection + window attention fused: [B,H,W,Cin] -> [B,H,W,C]."""
     wh, ww = int(window[0]), int(window[1])
@@ -2512,7 +2551,8 @@ def fused_window_attention_qkv(
     if bias is not None:
         # CPB bias rides the v3 schedule (the default and the measured-best;
         # the A/B variants v4/v5/v6 are bias-free measurement kernels)
-        fn = _build_qkv_bias((wh, ww), pattern_key, not _on_tpu())
+        fn = _build_qkv_bias((wh, ww), pattern_key, not _on_tpu(),
+                             prefolded=bias_prefolded)
         return fn(x, w_qkv, b_qkv, scale, bias, _bflag_arr(boundary_flag))
     sel = impl or QKV_IMPL
     if sel in ("v4", "v5"):

@@ -426,6 +426,80 @@ class TestQkvKernel:
             )
 
     @pytest.mark.parametrize("use_mask", [False, True])
+    def test_prefolded_bias_equals_raw_route(self, xwbs, rng, use_mask):
+        """bias_prefolded=True fed fold_cpb_bias(bias, scale) must equal the
+        raw-bias route: forward bit-equal (identical op sequence, just
+        relocated), and TOTAL grads w.r.t. the raw bias and scale matching —
+        the prefolded route's d(scale) gains the model-side ``-sum(d_badd)``
+        fold term, which is algebraically zero (softmax vjp rows sum to
+        zero), so only rounding-level differences are allowed."""
+        from swin_v2_weather_tpu.ops import window_attention as wa
+
+        x, w, b, scale = xwbs
+        l = self.WH * self.WW
+        bias = jnp.asarray(rng.standard_normal((HEADS, l, l)) * 1.5, jnp.float32)
+        patt = (
+            make_shift_mask((self.H, self.W), (self.WH, self.WW), (1, 2))[-1]
+            if use_mask
+            else None
+        )
+
+        def f_pre(x, w, b, s, bi):
+            badd = wa.fold_cpb_bias(bi, s)
+            out = wa.fused_window_attention_qkv(
+                x, w, b, s, (self.WH, self.WW), patt, bias=badd,
+                bias_prefolded=True,
+            )
+            return jnp.sum(out * out)
+
+        def f_raw(x, w, b, s, bi):
+            out = wa.fused_window_attention_qkv(
+                x, w, b, s, (self.WH, self.WW), patt, bias=bi
+            )
+            return jnp.sum(out * out)
+
+        out_pre = wa.fused_window_attention_qkv(
+            x, w, b, scale, (self.WH, self.WW), patt,
+            bias=wa.fold_cpb_bias(bias, scale), bias_prefolded=True,
+        )
+        out_raw = wa.fused_window_attention_qkv(
+            x, w, b, scale, (self.WH, self.WW), patt, bias=bias
+        )
+        np.testing.assert_array_equal(np.asarray(out_pre), np.asarray(out_raw))
+
+        g_pre = jax.grad(f_pre, argnums=(0, 1, 2, 3, 4))(x, w, b, scale, bias)
+        g_raw = jax.grad(f_raw, argnums=(0, 1, 2, 3, 4))(x, w, b, scale, bias)
+        for name, a, b_ in zip(("dx", "dW", "db", "dscale", "dbias"), g_pre, g_raw):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), err_msg=name, atol=5e-4, rtol=1e-5
+            )
+
+    def test_cpb_expand_dot_equals_take(self, rng):
+        """The one-hot-matmul expansion (SWIN_CPB_EXPAND='dot') is bit-exact
+        vs gather+transpose: every fp32 product is value*1.0 or value*0.0 and
+        each output row has exactly one nonzero term."""
+        from swin_v2_weather_tpu.models.swin import (
+            _cpb_expand_onehot,
+            make_log_relative_coords_unique,
+        )
+
+        ws = (self.WH, self.WW)
+        _, idx = make_log_relative_coords_unique(ws)
+        d = (2 * self.WH - 1) * (2 * self.WW - 1)
+        cpb = jnp.asarray(rng.standard_normal((d, HEADS)), jnp.float32)
+        l = self.WH * self.WW
+
+        via_take = jnp.take(cpb, jnp.asarray(idx), axis=0).transpose(1, 0)
+        via_dot = jax.lax.dot_general(
+            cpb.T, jnp.asarray(_cpb_expand_onehot(ws)),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(via_dot.reshape(HEADS, l, l)),
+            np.asarray(via_take.reshape(HEADS, l, l)),
+        )
+
+    @pytest.mark.parametrize("use_mask", [False, True])
     def test_v6_padded_forward_matches_reference(self, xwbs, use_mask):
         """v6 output: per-head 128-lane slots, pad lanes EXACTLY zero, real
         lanes matching the reference."""

@@ -34,12 +34,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # (node id, slow?)
 PARITY_TESTS = [
     (
-        "tests/test_reference_parity.py::TestTrainingParity::"
+        "tests/test_reference_parity.py::TestReferenceParity::"
         "test_long_trajectory_flagship_loss_matches_torch",
         False,
     ),
     (
-        "tests/test_reference_parity.py::TestTrainingParity::"
+        "tests/test_reference_parity.py::TestReferenceParity::"
         "test_convergence_soak_from_archive_matches_torch",
         True,
     ),

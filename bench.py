@@ -172,10 +172,16 @@ def main():
     )
 
     flagship_only = os.environ.get("BENCH_FLAGSHIP_ONLY", "0") == "1"
+    # BENCH_FAMILIES=finetune_8step,depth24 — run a subset (fresh-process
+    # retries of rows that hit transient remote-compile failures)
+    only = os.environ.get("BENCH_FAMILIES")
+    only = set(only.split(",")) if only else None
     rows = []
     flagship_sps = None
     for name, cfg, overrides, bs, iters, baseline in FAMILIES:
         if flagship_only and name != "flagship_1step":
+            continue
+        if only is not None and name not in only:
             continue
         try:
             params = build_params(cfg, overrides)

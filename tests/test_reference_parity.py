@@ -824,7 +824,7 @@ class TestReferenceParity:
         p = YParams(default_config_path(), "swin_micro_test")
         p["exp_dir"] = str(tmp_path / "runs")
         p["max_epochs"] = n_epochs
-        p["batch_size"] = 4
+        p["batch_size"] = 8  # divisible by the 8-device virtual test mesh
         p["data_loader_config"] = "threaded"
         p["train_data_path"] = str(tmp_path / "data" / "train")
         p["valid_data_path"] = str(tmp_path / "data" / "test")
@@ -832,7 +832,9 @@ class TestReferenceParity:
         p["global_stds_path"] = str(tmp_path / "global_stds.npy")
         p["time_diff_stds_path"] = str(tmp_path / "time_diff_stds.npy")
         p["drop_path_rate"] = 0.0  # deterministic trajectories
-        p["scheduler"] = "cosine"
+        p["scheduler"] = "CosineAnnealingLR"
+        p["scan_blocks"] = False  # match torch_to_flax's unrolled layout
+        p["compute_dtype"] = "float32"  # parity vs the fp32 torch twin
 
         # --- our side: the real Trainer ---
         t = Trainer(p, "swin_micro_test", run_num="soak")
@@ -885,6 +887,12 @@ class TestReferenceParity:
             ref_core.parameters(), lr=float(p.lr), betas=(0.9, 0.95)
         )
         sched = CosineAnnealingLR(float(p.lr), t_max=n_epochs)
+        # reference-DDP semantics: each rank backwards its LOCAL batch-sum
+        # loss and DDP averages grads over ranks, so the single-process twin
+        # divides the whole-batch sum loss by world_size — here the 8-device
+        # virtual mesh the Trainer sharded the batch over (training/step.py
+        # loss_scale = 1/n_data_shards reproduces the same scaling).
+        world = jax.device_count()
         torch_curve = []
         for epoch in range(n_epochs):
             for grp in opt_t.param_groups:
@@ -899,10 +907,10 @@ class TestReferenceParity:
                 full = torch.from_numpy(np.concatenate([inp, zen, stat], axis=1))
                 opt_t.zero_grad()
                 out = ref_core(full)
-                loss = ref_loss(out, torch.from_numpy(tar), full)
+                loss = ref_loss(out, torch.from_numpy(tar), full) / world
                 loss.backward()
                 opt_t.step()
-                losses.append(float(loss))
+                losses.append(float(loss.detach()))
             sched.step()
             torch_curve.append(float(np.mean(losses)))
 

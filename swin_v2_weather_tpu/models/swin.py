@@ -227,10 +227,15 @@ def calc_window_shift(
 # cancellation error ~2^-24 * mean^2, negligible for O(1-10) activations.
 LN_IMPL = _os.environ.get("SWIN_LN_IMPL", "twopass")
 
-# CPB meta-MLP dedup (rel_pos configs): 1 (default) = evaluate on the
-# distinct relative deltas + static gather; 0 = the reference-shaped
-# per-pair evaluation (A/B + exact per-pair dropout semantics).
-CPB_UNIQUE = _os.environ.get("SWIN_CPB_UNIQUE", "1") != "0"
+# CPB meta-MLP dedup (rel_pos configs): the `cpb_unique` CONFIG key (default
+# true) selects evaluating the meta-MLP on the distinct relative deltas +
+# static expand; false = the reference-shaped per-pair evaluation (exact
+# per-pair dropout semantics). Train-time divergence note: the dedup draws
+# hidden-layer dropout per distinct delta, not per pair — deterministic and
+# eval are bitwise identical either way. The env var, IF EXPLICITLY SET,
+# overrides the config for A/B archaeology (VERDICT r4 next #6).
+_CPB_UNIQUE_ENV = _os.environ.get("SWIN_CPB_UNIQUE")
+CPB_UNIQUE = (_CPB_UNIQUE_ENV or "1") != "0"
 # How the [D, heads] unique CPB table expands to [heads, L, L]:
 #   'dot'  (default) — one fp32 matmul against a static 0/1 [D, L*L] matrix,
 #          exact (each output picks exactly one table value * 1.0). One MXU
@@ -484,6 +489,14 @@ class WindowAttention(nn.Module):
     dtype: Any = None
     attn_impl: str = "xla"  # 'xla' | 'pallas'
     window_grid: Optional[Tuple[int, int]] = None  # (rows, cols) of windows
+    # CPB meta-MLP dedup: None -> module default (config key `cpb_unique`
+    # threads through here; an explicitly-set SWIN_CPB_UNIQUE env wins)
+    cpb_unique: Optional[bool] = None
+
+    def _cpb_unique(self) -> bool:
+        if self.cpb_unique is not None and _CPB_UNIQUE_ENV is None:
+            return bool(self.cpb_unique)
+        return CPB_UNIQUE
 
     @nn.compact
     def __call__(
@@ -506,7 +519,7 @@ class WindowAttention(nn.Module):
 
         bias = None
         if self.rel_pos:
-            if CPB_UNIQUE:
+            if self._cpb_unique():
                 # evaluate the meta-MLP on the D distinct deltas only and
                 # expand with a static gather — exact (every pair's row is
                 # the same function of its delta), except that the hidden-
@@ -686,6 +699,7 @@ class SwinBlock(nn.Module):
     attn_impl: str = "xla"
     mlp_impl: Optional[str] = None
     lnadd_impl: Optional[str] = None  # None -> module default (SWIN_LNADD_IMPL)
+    cpb_unique: Optional[bool] = None
     deterministic: bool = True
     # spatial sharding: feat_size is LOCAL rows; runs inside shard_map with
     # H split over `spatial_axis` (see parallel/spatial.py)
@@ -764,6 +778,7 @@ class SwinBlock(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             window_grid=(self.feat_size[0] // window[0], self.feat_size[1] // window[1]),
+            cpb_unique=self.cpb_unique,
             name="attn",
         )
         y = x
@@ -834,6 +849,7 @@ class BlockPair(nn.Module):
     deterministic: bool
     mlp_impl: Optional[str] = None
     lnadd_impl: Optional[str] = None
+    cpb_unique: Optional[bool] = None
     spatial_shards: int = 1
     spatial_axis: str = "model"
 
@@ -855,6 +871,7 @@ class BlockPair(nn.Module):
             attn_impl=self.attn_impl,
             mlp_impl=self.mlp_impl,
             lnadd_impl=self.lnadd_impl,
+            cpb_unique=self.cpb_unique,
             deterministic=self.deterministic,
             spatial_shards=self.spatial_shards,
             spatial_axis=self.spatial_axis,
@@ -953,6 +970,9 @@ class SwinTransformerV2(nn.Module):
     # input as a custom_vjp residual that remat cannot discard, so
     # get_model gates it to 'xla' when n_future > 0.
     lnadd_impl: Optional[str] = None
+    # CPB meta-MLP dedup (config key `cpb_unique`, default true): None ->
+    # module default; see WindowAttention.cpb_unique for the divergence note
+    cpb_unique: Optional[bool] = None
     # spatial sharding over the mesh's `model` axis: when > 1, __call__ runs
     # inside shard_map on a LOCAL H slice [B, C, H/shards, W]; shifted-block
     # rolls halo-exchange over ICI (parallel/spatial.py) and the pole mask
@@ -1112,6 +1132,7 @@ class SwinTransformerV2(nn.Module):
             attn_impl=self.attn_impl,
             mlp_impl=self.mlp_impl,
             lnadd_impl=self.lnadd_impl,
+            cpb_unique=self.cpb_unique,
             deterministic=deterministic,
             spatial_shards=n_sp,
             spatial_axis=self.spatial_axis,
@@ -1156,6 +1177,7 @@ class SwinTransformerV2(nn.Module):
                     attn_impl=self.attn_impl,
                     mlp_impl=self.mlp_impl,
                     lnadd_impl=self.lnadd_impl,
+                    cpb_unique=self.cpb_unique,
                     deterministic=deterministic,
                     spatial_shards=n_sp,
                     spatial_axis=self.spatial_axis,
@@ -1275,6 +1297,12 @@ def build_swin_from_params(params, dtype=None) -> SwinTransformerV2:
                 or int(params.depth) > 12
                 else None
             )
+        ),
+        # `cpb_unique` is a documented config key (divergence note at the
+        # module-level CPB_UNIQUE constant); an explicitly-set
+        # SWIN_CPB_UNIQUE env var still overrides for A/B archaeology
+        cpb_unique=(
+            bool(params["cpb_unique"]) if "cpb_unique" in params else None
         ),
         spatial_shards=int(getattr(params, "spatial_shards", 1) or 1),
     )

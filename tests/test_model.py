@@ -376,6 +376,34 @@ class TestCpbUnique:
                 err_msg=ks,
             )
 
+    def test_cpb_unique_is_a_config_key(self, monkeypatch):
+        """`cpb_unique` threads config -> model attribute -> attention, and
+        an explicitly-set SWIN_CPB_UNIQUE env var still wins (VERDICT r4
+        next #6: numerics-affecting defaults belong in the config)."""
+        from swin_v2_weather_tpu.models import swin as swin_mod
+        from swin_v2_weather_tpu.models.swin import WindowAttention
+
+        def resolve(attr, env):
+            monkeypatch.setattr(swin_mod, "_CPB_UNIQUE_ENV", env)
+            monkeypatch.setattr(
+                swin_mod, "CPB_UNIQUE", (env or "1") != "0"
+            )
+            attn = WindowAttention(
+                dim=4, num_heads=2, window_size=(3, 6), cpb_unique=attr
+            )
+            return attn._cpb_unique()
+
+        assert resolve(None, None) is True      # default
+        assert resolve(False, None) is False    # config key honored
+        assert resolve(True, None) is True
+        assert resolve(True, "0") is False      # explicit env overrides config
+        assert resolve(False, "1") is True
+
+        # the factory threads the config key through to the core model
+        model = tiny_model(rel_pos=True, full_pos_embed=False)
+        assert model.cpb_unique is None  # absent key -> module default
+        assert tiny_model(rel_pos=True, cpb_unique=False).cpb_unique is False
+
 
 class TestPeriodicity:
     def test_longitude_roll_equivariance(self, rng):

@@ -246,7 +246,16 @@ class TestQkvKernel:
             q, k, v, scale, None, patt, (self.WH, self.WW)
         )
 
-    @pytest.mark.parametrize("impl", ["v3", "v4", "v5"])
+    # v4/v5 live in ops/attic (retired measurement-archaeology schedules,
+    # dispatched by nothing by default) — their parity guards run in the
+    # slow tier only so smoke/default runs spend zero time on them
+    # (VERDICT r4 next #9)
+    @pytest.mark.parametrize(
+        "impl",
+        ["v3",
+         pytest.param("v4", marks=pytest.mark.slow),
+         pytest.param("v5", marks=pytest.mark.slow)],
+    )
     @pytest.mark.parametrize("use_mask", [False, True])
     def test_forward_matches_reference(self, xwbs, use_mask, impl):
         from swin_v2_weather_tpu.ops.window_attention import fused_window_attention_qkv
@@ -263,7 +272,12 @@ class TestQkvKernel:
         ref = self._reference(x, w, b, scale, patt)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2)
 
-    @pytest.mark.parametrize("bwd_impl", ["pallas", "xla", "v4", "v5"])
+    @pytest.mark.parametrize(
+        "bwd_impl",
+        ["pallas", "xla",
+         pytest.param("v4", marks=pytest.mark.slow),
+         pytest.param("v5", marks=pytest.mark.slow)],
+    )
     @pytest.mark.parametrize("use_mask", [False, True])
     def test_backward_matches_reference(self, xwbs, use_mask, bwd_impl, monkeypatch):
         """dx, dW, db, dscale from the fused backward kernel vs the fp32
@@ -675,3 +689,42 @@ class TestModelParity:
         monkeypatch.setattr(wa, "QKV_IMPL", "v6")
         y_v6 = m.apply(params, x)
         np.testing.assert_allclose(np.asarray(y_v3), np.asarray(y_v6), atol=5e-2)
+
+
+class TestAtticHygiene:
+    """The attic (ops/attic/) holds retired kernel generations kept only as
+    measurement archaeology. Nothing in the production tree may depend on
+    it beyond the single lazy dispatch site (VERDICT r4 next #9)."""
+
+    def test_no_imports_outside_dispatch_site(self):
+        import pathlib
+        import re
+
+        import swin_v2_weather_tpu
+
+        pkg = pathlib.Path(swin_v2_weather_tpu.__file__).parent
+        allowed = {pkg / "ops" / "window_attention.py"}  # lazy v4/v5 dispatch
+        offenders = []
+        for p in pkg.rglob("*.py"):
+            if (pkg / "ops" / "attic") in p.parents or p in allowed:
+                continue
+            if re.search(r"\battic\b", p.read_text()):
+                offenders.append(str(p.relative_to(pkg)))
+        assert not offenders, f"attic referenced outside the dispatch site: {offenders}"
+
+    def test_attic_not_imported_by_default_path(self):
+        """Importing the production attention module must not load the attic
+        (its import is lazy, inside the v4/v5 dispatch branch only)."""
+        import subprocess
+        import sys
+
+        code = (
+            "import sys, swin_v2_weather_tpu.ops.window_attention; "
+            "bad = [m for m in sys.modules if 'attic' in m]; "
+            "assert not bad, bad"
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            env={**__import__('os').environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert proc.returncode == 0, proc.stderr[-1000:]

@@ -1248,6 +1248,7 @@ def _make_qkv_kernel(wh: int, ww: int, nc: int, heads: int, n_window_rows: int,
         # per-head concatenate materialized a full second copy of s).
         n_ch = _attn_chunks(heads)
         sz = hb // n_ch
+        hpc = heads // n_ch
         s_c: list = [None] * n_ch
         s_c[0] = jax.lax.dot_general(
             q16[:sz], k16[:sz],
@@ -1269,8 +1270,13 @@ def _make_qkv_kernel(wh: int, ww: int, nc: int, heads: int, n_window_rows: int,
             else:
                 if has_bias:
                     # z = s*scale + (shifted_bias - scale): one fused FMA
-                    # pass, no reshape (badd arrives pre-repeated [hb, L, L])
-                    z = s_c[ci] * scl + bias_ref[lo:hi]
+                    # pass; badd arrives once per head [heads, L, L] and the
+                    # per-window-lane repeat is a register broadcast
+                    bb = bias_ref[ci * hpc : (ci + 1) * hpc]
+                    bb = jnp.broadcast_to(
+                        bb[:, None], (hpc, nc, l, l)
+                    ).reshape(sz, l, l)
+                    z = s_c[ci] * scl + bb
                 else:
                     z = (s_c[ci] - 1.0) * scl
                 if mask_add is not None:
@@ -1286,7 +1292,6 @@ def _make_qkv_kernel(wh: int, ww: int, nc: int, heads: int, n_window_rows: int,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ) * r  # [sz, L, hd]
-            hpc = heads // n_ch
             for j in range(hpc):  # static unroll: slab-ify + store per head
                 hh = ci * hpc + j
                 o = out[j * nc : (j + 1) * nc]  # [nc, L, hd]
@@ -1350,19 +1355,22 @@ def _qkv_forward(x, w_qkv, b_qkv, scale, mask_pattern, window, interpret,
     if bias is not None:
         in_specs.append(
             pl.BlockSpec(
-                (hb, l, l), lambda bi, r, wcix: (0, 0, 0), memory_space=pltpu.VMEM
+                (heads, l, l), lambda bi, r, wcix: (0, 0, 0), memory_space=pltpu.VMEM
             )
         )
-        # badd = shifted_bias - scale, repeated per window lane (head-major,
-        # matching shb): the kernel's logits become z = s*scale + badd in the
-        # same FMA traversal the bias-free path already pays. With
-        # prefolded=True the caller passes badd directly (fold_cpb_bias,
-        # computed ONCE per block and checkpoint-saved — the backward's remat
-        # recompute then skips the shift/fold chain entirely).
+        # badd = shifted_bias - scale, ONCE PER HEAD [heads, L, L]: the
+        # kernel broadcasts it across the nc window lanes in registers, so
+        # the logits become z = s*scale + badd in the same FMA traversal the
+        # bias-free path already pays (the former jnp.repeat materialized
+        # and DMA'd an [hb, L, L] operand — ~4 MB of extra HBM traffic per
+        # block each direction). With prefolded=True the caller passes badd
+        # directly (fold_cpb_bias, computed ONCE per block and
+        # checkpoint-saved — the backward's remat recompute then skips the
+        # shift/fold chain entirely).
         badd = bias.astype(jnp.float32)
         if not prefolded:
             badd = badd - scale_f[:, None, None]
-        args.append(jnp.repeat(badd, nc, axis=0))
+        args.append(badd)
 
     kernel = _make_qkv_kernel(wh, ww, nc, heads, nwh, has_mask,
                               has_bias=bias is not None)
@@ -1521,8 +1529,11 @@ def _make_qkv_bwd_kernel(wh: int, ww: int, nc: int, heads: int,
                 )
             scl = shb_ref[lo:hi, :].reshape(sz, 1, 1)
             if has_bias:
-                # fused FMA with the pre-repeated badd (see the fwd kernel)
-                z = s_c[ci] * scl + bias_ref[lo:hi]
+                # fused FMA; badd arrives once per head [heads, L, L], the
+                # window-lane repeat is a register broadcast (see fwd kernel)
+                bb = bias_ref[ci * hpc : (ci + 1) * hpc]
+                bb = jnp.broadcast_to(bb[:, None], (hpc, nc, l, l)).reshape(sz, l, l)
+                z = s_c[ci] * scl + bb
             else:
                 z = (s_c[ci] - 1.0) * scl
             if has_mask:
@@ -1676,13 +1687,14 @@ def _qkv_backward(x, w_qkv, b_qkv, scale, g, mask_pattern, window, interpret,
     if has_bias:
         in_specs.append(
             pl.BlockSpec(
-                (hb, l, l), lambda bi, r, wcix: (0, 0, 0), memory_space=pltpu.VMEM
+                (heads, l, l), lambda bi, r, wcix: (0, 0, 0), memory_space=pltpu.VMEM
             )
         )
+        # once per head; in-kernel register broadcast (see the forward)
         badd = bias.astype(jnp.float32)
         if not prefolded:
             badd = badd - scale_f[:, None, None]
-        args.append(jnp.repeat(badd, nc, axis=0))
+        args.append(badd)
 
     acc_spec = lambda shape: pl.BlockSpec(  # noqa: E731 — VMEM-resident accumulator
         shape, lambda bi, r, wcix: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -2050,6 +2062,7 @@ def _make_qkv6_kernel(wh: int, ww: int, nc: int, heads: int,
 
         n_ch = _attn_chunks(heads)
         sz = hb // n_ch
+        hpc = heads // n_ch
         s_c: list = [None] * n_ch
         s_c[0] = jax.lax.dot_general(
             q16[:sz], k16[:sz],

@@ -513,6 +513,33 @@ class TestQkvKernel:
             np.asarray(via_take.reshape(HEADS, l, l)),
         )
 
+    def test_cpb_expand_factored_equals_take(self, rng):
+        """The Kronecker-factored expansion (SWIN_CPB_EXPAND='factored', the
+        r5 default — no 62 MB one-hot constant) is bit-exact vs
+        gather+transpose: exactly one (dr, dc) term is nonzero per output."""
+        from swin_v2_weather_tpu.models.swin import (
+            _cpb_expand_factored,
+            make_log_relative_coords_unique,
+        )
+
+        for ws in [(self.WH, self.WW), (9, 18), (4, 4)]:
+            wh, ww = ws
+            _, idx = make_log_relative_coords_unique(ws)
+            d = (2 * wh - 1) * (2 * ww - 1)
+            l = wh * ww
+            cpb = jnp.asarray(rng.standard_normal((d, HEADS)), jnp.float32)
+            via_take = (
+                jnp.take(cpb, jnp.asarray(idx), axis=0)
+                .transpose(1, 0)
+                .reshape(HEADS, l, l)
+            )
+            rmat, cmat = _cpb_expand_factored(ws)
+            t3 = cpb.reshape(2 * wh - 1, 2 * ww - 1, HEADS)
+            via_fac = jnp.einsum(
+                "ijr,rch,kmc->hikjm", jnp.asarray(rmat), t3, jnp.asarray(cmat)
+            ).reshape(HEADS, l, l)
+            np.testing.assert_array_equal(np.asarray(via_fac), np.asarray(via_take))
+
     @pytest.mark.parametrize("use_mask", [False, True])
     def test_v6_padded_forward_matches_reference(self, xwbs, use_mask):
         """v6 output: per-head 128-lane slots, pad lanes EXACTLY zero, real

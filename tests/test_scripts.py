@@ -116,3 +116,71 @@ class TestTrainCliOverrides:
         )
         train_mod.main()
         assert captured["params"]["compute_dtype"] == "bfloat16"
+
+
+class TestBenchEmissionContract:
+    """bench.py's r5 driver contract (VERDICT r4 next #1): flagship first,
+    a complete JSON snapshot line flushed after EVERY family, and a
+    wall-clock budget that skips remaining families instead of overrunning
+    the driver timeout. Measurement is stubbed; this pins the emission and
+    budget logic."""
+
+    def _run_main(self, monkeypatch, capsys, family_seconds, env=None):
+        import json as _json
+
+        import bench
+
+        for k, v in (env or {}).items():
+            monkeypatch.setenv(k, v)
+
+        clock = {"t": 0.0}
+
+        def fake_perf_counter():
+            return clock["t"]
+
+        def fake_measure(params, bs, iters):
+            clock["t"] += family_seconds
+            return 0.5, 1, 10.0  # 500 ms/step, 1 rollout step, 10 GB peak
+
+        monkeypatch.setattr(bench.time, "perf_counter", fake_perf_counter)
+        monkeypatch.setattr(bench, "measure", fake_measure)
+        monkeypatch.setattr(bench, "build_params", lambda cfg, ov: {
+            "img_shape_x": 720, "img_shape_y": 1440, "patch_size": 4,
+            "embed_dim": 768, "depth": 12, "n_in_channels": 77,
+            "n_out_channels": 73, "window_ratio": 80, "mlp_ratio": 4.0,
+        })
+        bench.main()
+        lines = [l for l in capsys.readouterr().out.splitlines()
+                 if l.strip().startswith("{")]
+        return [_json.loads(l) for l in lines]
+
+    def test_every_line_is_complete_and_flagship_first(self, monkeypatch, capsys):
+        snaps = self._run_main(monkeypatch, capsys, family_seconds=10.0,
+                               env={"BENCH_BUDGET_S": "10000"})
+        # one snapshot per family + the final line
+        assert len(snaps) == len(__import__("bench").FAMILIES) + 1
+        for s in snaps:
+            assert s["metric"] == "flagship_train_throughput_single_step"
+            assert s["value"] > 0  # flagship measured in the FIRST snapshot
+            assert s["families"][0]["family"] == "flagship_1step"
+            assert s["families"][0]["peak_hbm_gb"] == 10.0
+        assert len(snaps[-1]["families"]) == len(__import__("bench").FAMILIES)
+
+    def test_budget_skips_remaining_families(self, monkeypatch, capsys):
+        # each family "takes" 600 s; budget 900 -> flagship runs, the rest
+        # are emitted as skipped and the final line still carries flagship
+        snaps = self._run_main(monkeypatch, capsys, family_seconds=600.0,
+                               env={"BENCH_BUDGET_S": "900"})
+        final = snaps[-1]
+        assert final["value"] > 0
+        fams = final["families"]
+        assert fams[0]["family"] == "flagship_1step" and "ms_step" in fams[0]
+        assert all(f.get("skipped") == "budget" for f in fams[1:])
+        assert len(fams) == len(__import__("bench").FAMILIES)
+
+    def test_flagship_always_runs_even_over_budget(self, monkeypatch, capsys):
+        snaps = self._run_main(monkeypatch, capsys, family_seconds=600.0,
+                               env={"BENCH_BUDGET_S": "1"})
+        assert snaps[0]["value"] > 0
+        assert snaps[-1]["families"][0]["family"] == "flagship_1step"
+        assert "ms_step" in snaps[-1]["families"][0]

@@ -74,6 +74,10 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_FAMILIES_r05.json"))
     ap.add_argument("--families", default=",".join(DEFAULT_FAMILIES))
     ap.add_argument("--skip-ab", action="store_true")
+    ap.add_argument(
+        "--force", action="store_true",
+        help="re-measure families already present in --out (default: skip them)",
+    )
     args = ap.parse_args()
 
     out = {
@@ -87,23 +91,39 @@ def main():
         ),
         "rows": [],
     }
+    # merge with an existing artifact: a campaign interrupted (or run per
+    # family across sessions) keeps every row already measured
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                out["rows"] = json.load(f).get("rows", [])
+        except (OSError, ValueError):
+            pass
+    done = {r.get("family") for r in out["rows"] if "error" not in r}
 
     def flush():
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1)
 
     for fam in args.families.split(","):
+        if fam in done and not args.force:
+            print(f"skip {fam}: already measured in {args.out}", flush=True)
+            continue
         row = run_family(fam, {})
+        out["rows"] = [r for r in out["rows"] if r.get("family") != fam]
         out["rows"].append(row)
         flush()
         print(json.dumps(row), flush=True)
 
-    if not args.skip_ab:
+    if not args.skip_ab and ("cpb_rel_pos_r4_style_ab" not in done or args.force):
         row = run_family(
             "cpb_rel_pos",
             {"SWIN_CPB_EXPAND": "dot", "SWIN_CPB_BARRIER": "0"},
         )
         row["family"] = "cpb_rel_pos_r4_style_ab"
+        out["rows"] = [
+            r for r in out["rows"] if r.get("family") != "cpb_rel_pos_r4_style_ab"
+        ]
         row["note"] = (
             "A/B leg: one-hot 'dot' expand + no fusion barrier (the r4 "
             "pipeline); same session as the cpb_rel_pos row above"

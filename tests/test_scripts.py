@@ -149,6 +149,11 @@ class TestBenchEmissionContract:
             "embed_dim": 768, "depth": 12, "n_in_channels": 77,
             "n_out_channels": 73, "window_ratio": 80, "mlp_ratio": 4.0,
         })
+        monkeypatch.setattr(
+            bench, "load_committed_rows",
+            lambda: {"cpb_rel_pos": {"family": "cpb_rel_pos",
+                                     "ms_step": 431.0, "mfu": 0.41}},
+        )
         bench.main()
         lines = [l for l in capsys.readouterr().out.splitlines()
                  if l.strip().startswith("{")]
@@ -168,14 +173,20 @@ class TestBenchEmissionContract:
 
     def test_budget_skips_remaining_families(self, monkeypatch, capsys):
         # each family "takes" 600 s; budget 900 -> flagship runs, the rest
-        # are emitted as skipped and the final line still carries flagship
+        # are emitted as skipped — except families with a committed in-round
+        # measurement, whose row is attached with an explicit "source"
         snaps = self._run_main(monkeypatch, capsys, family_seconds=600.0,
                                env={"BENCH_BUDGET_S": "900"})
         final = snaps[-1]
         assert final["value"] > 0
         fams = final["families"]
         assert fams[0]["family"] == "flagship_1step" and "ms_step" in fams[0]
-        assert all(f.get("skipped") == "budget" for f in fams[1:])
+        by_name = {f["family"]: f for f in fams[1:]}
+        # the committed cpb row substitutes for the skip, provenance-labeled
+        assert by_name["cpb_rel_pos"]["ms_step"] == 431.0
+        assert "BENCH_FAMILIES_r05" in by_name["cpb_rel_pos"]["source"]
+        assert all(f.get("skipped") == "budget"
+                   for n, f in by_name.items() if n != "cpb_rel_pos")
         assert len(fams) == len(__import__("bench").FAMILIES)
 
     def test_flagship_always_runs_even_over_budget(self, monkeypatch, capsys):

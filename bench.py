@@ -69,7 +69,18 @@ FAMILIES = [
     ("finetune_8step", None, {"n_future": 7}, 1, 6, 0.125),
     ("depth24", "swin_73var_geo_depth24_chweight_invar", {}, 1, 12, 0.5),
     ("rel_loss", "swin_73var_geo_depth12_chweight_invar_rel", {}, 1, 20, 1.0),
+    # fallback rows: this session the tunnel's compile helper reproducibly
+    # crashes (HTTP 500, subprocess exit 1) on the two LARGEST unrolled
+    # programs (8-step, depth-24) while every flagship-sized program
+    # compiles fine; scan_blocks=True trades ~57 ms/step of
+    # dynamic-update-slice (r2 measurement at depth-12) for a program one
+    # scanned block-pair long, which both shrinks the compile and stacks
+    # remat saves at ~1/6 HBM peak. NOT run by default — measured as
+    # explicit BENCH_FAMILIES selections when the plain rows fail.
+    ("finetune_8step_scanblocks", None, {"n_future": 7, "scan_blocks": True}, 1, 6, 0.125),
+    ("depth24_scanblocks", "swin_73var_geo_depth24_chweight_invar", {"scan_blocks": True}, 1, 12, 0.5),
 ]
+DEFAULT_SKIP = {"finetune_8step_scanblocks", "depth24_scanblocks"}
 
 
 def model_flops_fwd(params) -> float:
@@ -264,6 +275,7 @@ def main():
         for f in FAMILIES
         if not (flagship_only and f[0] != "flagship_1step")
         and not (only is not None and f[0] not in only)
+        and not (only is None and f[0] in DEFAULT_SKIP)
     ]
     committed = load_committed_rows()
 

@@ -46,22 +46,40 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "LOADER_r04.json"))
     ap.add_argument("--batches", type=int, default=12)
+    ap.add_argument(
+        "--legs", default="1,2,3",
+        help="comma-set of legs to (re-)run; others keep their values from "
+        "an existing --out artifact (re-measure a leg without discarding "
+        "the rest)",
+    )
     args = ap.parse_args()
+    legs = set(args.legs.split(","))
 
     out = {}
-    print("1/3: 73-ch loader-only ...", flush=True)
-    out["fullres_73ch_loader_only"] = run_bench(
-        ["--channels", "73", "--batches", "20"]
-    )
-    print(json.dumps(out["fullres_73ch_loader_only"]))
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                out = json.load(f)
+        except (OSError, ValueError):
+            out = {}
 
-    print("2/3: 8-ch end-to-end (loader -> prefetch -> chip step) ...", flush=True)
-    r8 = run_bench(
-        ["--channels", "8", "--frames", "48", "--device", "--e2e",
-         "--batches", str(args.batches)]
-    )
-    out["tunnel_feasible_8ch_e2e"] = r8
-    print(json.dumps(r8))
+    if "1" in legs:
+        print("1/3: 73-ch loader-only ...", flush=True)
+        out["fullres_73ch_loader_only"] = run_bench(
+            ["--channels", "73", "--batches", "20"]
+        )
+        print(json.dumps(out["fullres_73ch_loader_only"]))
+
+    if "2" in legs:
+        print("2/3: 8-ch end-to-end (loader -> prefetch -> chip step) ...",
+              flush=True)
+        r8 = run_bench(
+            ["--channels", "8", "--frames", "48", "--device", "--e2e",
+             "--batches", str(args.batches)]
+        )
+        out["tunnel_feasible_8ch_e2e"] = r8
+        print(json.dumps(r8))
+    r8 = out.get("tunnel_feasible_8ch_e2e", {})
     if "e2e_ms_per_step" in r8 and "compute_ms_per_step" in r8:
         input_leg_ms = 1e3 / max(
             r8.get("device_samples_per_s", 1e9), 1e-9
@@ -77,18 +95,19 @@ def main():
                      f"{round(r8['compute_ms_per_step'] + input_leg_ms, 1)} ms)",
         }
 
-    print("3/3: 73-ch end-to-end (expected tunnel-bound on this dev box) ...",
-          flush=True)
-    try:
-        out["fullres_73ch_e2e_tunnel_bound"] = run_bench(
-            ["--channels", "73", "--device", "--e2e", "--batches", "4"]
-        )
-        out["fullres_73ch_e2e_tunnel_bound"]["note"] = (
-            "dev-box H2D is a ~40 MB/s tunnel (LOADER_r03.json.h2d_device_leg); "
-            "~600 MB/sample makes this leg the wall here, not on a real host"
-        )
-    except RuntimeError as e:  # record rather than fail the artifact
-        out["fullres_73ch_e2e_tunnel_bound"] = {"error": str(e)[:500]}
+    if "3" in legs:
+        print("3/3: 73-ch end-to-end (expected tunnel-bound on this dev box) ...",
+              flush=True)
+        try:
+            out["fullres_73ch_e2e_tunnel_bound"] = run_bench(
+                ["--channels", "73", "--device", "--e2e", "--batches", "4"]
+            )
+            out["fullres_73ch_e2e_tunnel_bound"]["note"] = (
+                "dev-box H2D is a ~40 MB/s tunnel (LOADER_r03.json.h2d_device_leg); "
+                "~600 MB/sample makes this leg the wall here, not on a real host"
+            )
+        except RuntimeError as e:  # record rather than fail the artifact
+            out["fullres_73ch_e2e_tunnel_bound"] = {"error": str(e)[:500]}
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)

@@ -163,13 +163,15 @@ class TestBenchEmissionContract:
         snaps = self._run_main(monkeypatch, capsys, family_seconds=10.0,
                                env={"BENCH_BUDGET_S": "10000"})
         # one snapshot per family + the final line
-        assert len(snaps) == len(__import__("bench").FAMILIES) + 1
+        import bench as _b
+        n_default = len([f for f in _b.FAMILIES if f[0] not in _b.DEFAULT_SKIP])
+        assert len(snaps) == n_default + 1
         for s in snaps:
             assert s["metric"] == "flagship_train_throughput_single_step"
             assert s["value"] > 0  # flagship measured in the FIRST snapshot
             assert s["families"][0]["family"] == "flagship_1step"
             assert s["families"][0]["peak_hbm_gb"] == 10.0
-        assert len(snaps[-1]["families"]) == len(__import__("bench").FAMILIES)
+        assert len(snaps[-1]["families"]) == n_default
 
     def test_budget_skips_remaining_families(self, monkeypatch, capsys):
         # each family "takes" 600 s; budget 900 -> flagship runs, the rest
@@ -187,7 +189,8 @@ class TestBenchEmissionContract:
         assert "BENCH_FAMILIES_r05" in by_name["cpb_rel_pos"]["source"]
         assert all(f.get("skipped") == "budget"
                    for n, f in by_name.items() if n != "cpb_rel_pos")
-        assert len(fams) == len(__import__("bench").FAMILIES)
+        import bench as _b
+        assert len(fams) == len([f for f in _b.FAMILIES if f[0] not in _b.DEFAULT_SKIP])
 
     def test_flagship_always_runs_even_over_budget(self, monkeypatch, capsys):
         snaps = self._run_main(monkeypatch, capsys, family_seconds=600.0,

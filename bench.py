@@ -79,8 +79,14 @@ FAMILIES = [
     # explicit BENCH_FAMILIES selections when the plain rows fail.
     ("finetune_8step_scanblocks", None, {"n_future": 7, "scan_blocks": True}, 1, 6, 0.125),
     ("depth24_scanblocks", "swin_73var_geo_depth24_chweight_invar", {"scan_blocks": True}, 1, 12, 0.5),
+    # 8-step with bf16 rollout stacks (rollout_stack_dtype, the documented
+    # HBM-fit option — the fp32 stacks alone put 8-step past 16 GB)
+    ("finetune_8step_bf16stack", None,
+     {"n_future": 7, "rollout_stack_dtype": "bfloat16"}, 1, 6, 0.125),
 ]
-DEFAULT_SKIP = {"finetune_8step_scanblocks", "depth24_scanblocks"}
+DEFAULT_SKIP = {
+    "finetune_8step_scanblocks", "depth24_scanblocks", "finetune_8step_bf16stack",
+}
 
 
 def model_flops_fwd(params) -> float:

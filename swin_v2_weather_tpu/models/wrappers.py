@@ -75,6 +75,18 @@ class MultiStepWrapper(nn.Module):
     # (n_steps x carry) + ONE step's backward footprint, nearly flat in
     # rollout length.
     remat_rollout: Optional[bool] = None
+    # dtype of the scanned rollout's stacked carries and prediction stack
+    # (config key ``rollout_stack_dtype``). Default fp32 = exact reference
+    # semantics. 'bfloat16' halves the two stacks (~5 GB -> 2.5 GB at
+    # 8-step flagship shape — what makes 8-step fit a 16 GB chip at all)
+    # and is the analog of the reference's own multi-step behavior under
+    # AMP, where the rollout feedback IS the fp16 autocast output
+    # (reference train.py:277-278 + networks/helpers.py:26-41); our model
+    # casts its input to bf16 at the first matmul anyway, so the remaining
+    # fp32-sensitive consumers of the carry are the global residual skip
+    # and the loss input, both then bf16-rounded. Divergence documented in
+    # MIGRATION.md; equivalence-within-bf16 pinned by test.
+    stack_dtype: Optional[str] = None
 
     def _use_scan(self) -> bool:
         if self.scan_rollout is not None:
@@ -110,6 +122,11 @@ class MultiStepWrapper(nn.Module):
         a scanned body plus an unrolled final call.
         """
         n_steps = self.n_future + 1
+        sdt = jnp.dtype(self.stack_dtype) if self.stack_dtype else None
+        if sdt is not None:
+            # the scan carry must keep one dtype across iterations; the
+            # initial input joins the rollout at the stack dtype
+            inp = inp.astype(sdt)
         invars = inp[:, -self.n_invar :, :, :] if self.n_invar else None
 
         if coszen is not None:
@@ -128,12 +145,13 @@ class MultiStepWrapper(nn.Module):
 
         def body(model, carry, zen_step):
             pred = model(carry, train=train)
-            parts = [pred]
+            parts = [pred if sdt is None else pred.astype(sdt)]
             if zen_step is not None:
-                parts.append(zen_step[:, None, :, :])
+                zs = zen_step[:, None, :, :]
+                parts.append(zs if sdt is None else zs.astype(sdt))
             if invars is not None:
                 parts.append(invars)
-            return jnp.concatenate(parts, axis=1), pred
+            return jnp.concatenate(parts, axis=1), parts[0]
 
         remat = self.remat_rollout if self.remat_rollout is not None else True
         if remat:
@@ -149,7 +167,9 @@ class MultiStepWrapper(nn.Module):
         )
         _, preds = scan(self.model, inp, zen_xs)
         b, _, c_out, h, w = preds.shape
-        return preds.reshape(b, n_steps * c_out, h, w)
+        out = preds.reshape(b, n_steps * c_out, h, w)
+        # losses/metrics consume fp32 regardless of the stack dtype
+        return out.astype(jnp.float32) if sdt is not None else out
 
 
 def get_model(params, dtype: Any = None) -> nn.Module:
@@ -168,11 +188,17 @@ def get_model(params, dtype: Any = None) -> nn.Module:
         remat_rollout = (
             bool(params["remat_rollout"]) if "remat_rollout" in params else None
         )
+        stack_dtype = (
+            str(params["rollout_stack_dtype"])
+            if "rollout_stack_dtype" in params and params["rollout_stack_dtype"]
+            else None
+        )
         return MultiStepWrapper(
             model=core,
             n_future=int(params.n_future),
             n_invar=n_invar,
             scan_rollout=scan_rollout,
             remat_rollout=remat_rollout,
+            stack_dtype=stack_dtype,
         )
     return SingleStepWrapper(model=core)

@@ -540,6 +540,40 @@ class TestWrappers:
                 np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4
             )
 
+    def test_scan_rollout_bf16_stack(self, rng):
+        """rollout_stack_dtype='bfloat16' (the 8-step HBM-fit option): the
+        scanned rollout with bf16 carry/prediction stacks tracks the fp32
+        form within bf16 resolution, returns fp32, and the first step's
+        prediction — whose input never went through a bf16 feedback — is
+        exact up to the output stack rounding."""
+        n_future = 2
+        core = tiny_model(in_chans=8, out_chans=4, residual=True, drop_path_rate=0.0)
+        fp32 = MultiStepWrapper(
+            model=core, n_future=n_future, n_invar=3, scan_rollout=True
+        )
+        bf16 = MultiStepWrapper(
+            model=core, n_future=n_future, n_invar=3, scan_rollout=True,
+            stack_dtype="bfloat16",
+        )
+        x = jnp.asarray(rng.normal(size=(2, 8, 24, 48)), jnp.float32)
+        coszen = jnp.asarray(rng.normal(size=(2, n_future + 1, 24, 48)), jnp.float32)
+        params = fp32.init(jax.random.key(0), x, coszen)
+        y32 = fp32.apply(params, x, coszen)
+        y16 = bf16.apply(params, x, coszen)
+        assert y16.dtype == jnp.float32
+        assert y16.shape == y32.shape
+        # bf16 has ~3 decimal digits; activations are O(1)
+        np.testing.assert_allclose(np.asarray(y32), np.asarray(y16), atol=0.05)
+        # step-1 diff is pure output rounding (inputs identical): <= 1 ulp
+        s1_32, s1_16 = np.asarray(y32[:, :4]), np.asarray(y16[:, :4])
+        assert np.max(np.abs(s1_32 - s1_16)) <= 2 ** -7 * np.max(np.abs(s1_32))
+        # gradients flow and are finite through the bf16 carries
+        g = jax.grad(
+            lambda p: jnp.mean(bf16.apply(p, x, coszen) ** 2)
+        )(params)
+        for leaf in jax.tree.leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
+
     def test_scan_rollout_no_coszen(self, rng):
         """coszen=None: the scan carries [pred, invars] only (the wrapper is
         built with in_chans == out_chans + n_invar in that case)."""

@@ -58,8 +58,15 @@ PARITY_TESTS = [
         "test_scored_rollout_step_matches_reference_metrics",
         True,
     ),
-    # most expensive last (several full-res fwd+bwd in BOTH frameworks) so
-    # an interrupted run still captures everything above
+    (
+        "tests/test_flagship_parity.py::TestFlagshipGoldenParity::"
+        "test_2step_finetune_trajectory_at_half_geometry",
+        True,
+    ),
+    # most expensive last (several full-res fwd+bwd in BOTH frameworks —
+    # needs a host with >130 GB free; the r5 dev box OOM-killed it, which
+    # is why the half-geometry variant above exists) so an interrupted run
+    # still captures everything above
     (
         "tests/test_flagship_parity.py::TestFlagshipGoldenParity::"
         "test_2step_finetune_trajectory_at_full_resolution",
@@ -72,30 +79,48 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "PARITY_r04.json"))
     ap.add_argument("--fast", action="store_true", help="toy-size tests only")
+    ap.add_argument(
+        "--only", default=None,
+        help="comma-set of test basenames to (re-)run, merged into an "
+        "existing --out artifact (other tests keep their recorded results)",
+    )
     args = ap.parse_args()
 
     nodes = [n for n, slow in PARITY_TESTS if not (args.fast and slow)]
+    prior_results, prior_measurements = [], []
+    if args.only:
+        only = set(args.only.split(","))
+        nodes = [n for n in nodes if n.split("::")[-1] in only]
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                prior = json.load(f)
+            prior_results = [
+                r for r in prior.get("tests", [])
+                if r["test"] not in only
+            ]
+            prior_measurements = prior.get("measurements", [])
     record_path = tempfile.mktemp(suffix=".jsonl")
     env = dict(os.environ, PARITY_REPORT=record_path)
 
     def assemble(results, pending):
-        measurements = []
+        measurements = list(prior_measurements)
         if os.path.exists(record_path):
             with open(record_path) as f:
-                measurements = [json.loads(line) for line in f]
+                measurements += [json.loads(line) for line in f]
         # the 100-step per-step series is large; keep a decimated view
         for m in measurements:
             series = m.pop("per_step_rel_diff", None)
             if series is not None:
                 m["per_step_rel_diff_every5"] = [round(v, 8) for v in series[::5]]
+        all_results = prior_results + results
         out = {
             "what": "accuracy-parity proxies vs the torch reference (fp32, CPU)",
             "north_star_note": (
                 "paper-level z500/t2m/u10m ACC/RMSE needs the real ERA5 archive "
                 "+ a trained model; these proxies pin the math end to end instead"
             ),
-            "all_passed": all(r["passed"] for r in results) and not pending,
-            "tests": results,
+            "all_passed": all(r["passed"] for r in all_results) and not pending,
+            "tests": all_results,
             "not_yet_run": [n.split("::")[-1] for n in pending],
             "measurements": measurements,
         }

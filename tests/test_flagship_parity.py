@@ -246,7 +246,34 @@ class TestFlagshipGoldenParity:
         spec with its 1/(n_future+1) multistep weighting
         (``utils/losses.py:127-132``), Adam lr 1e-4
         (``config/swin.yaml:199-215``). Per-step losses and a parameter
-        spot-check must track torch in fp32."""
+        spot-check must track torch in fp32.
+
+        Both frameworks run with activation checkpointing (bit-identical
+        math, recomputed) — without it the two resident full-res 2-step
+        autograd graphs peak past this dev box's 125 GB and the kernel
+        OOM-kills the test (observed r5: 130 GB RSS)."""
+        self._run_2step_trajectory(
+            reference_module, tmp_path, FLAGSHIP,
+            record_name="flagship_fullres_2step_finetune_trajectory",
+        )
+
+    def test_2step_finetune_trajectory_at_half_geometry(
+        self, reference_module, tmp_path
+    ):
+        """The same 2-step trajectory at HALF geometry (360x720,
+        window_ratio 40): identical architecture, head count, and — key —
+        the identical 9x18 window with its lat-only mask and cyclic roll
+        (the grid is 90x180 = 10x10 windows instead of 20x20). Runs in
+        ~1/4 the time/memory of the full-res variant; exists so the
+        trajectory proxy lands inside dev-box budgets that the full-res
+        variant exceeds."""
+        half = dict(FLAGSHIP, img_size=(360, 720), window_ratio=40)
+        self._run_2step_trajectory(
+            reference_module, tmp_path, half,
+            record_name="flagship_halfgeom_2step_finetune_trajectory",
+        )
+
+    def _run_2step_trajectory(self, reference_module, tmp_path, c, record_name):
         import importlib
 
         import jax
@@ -268,7 +295,7 @@ class TestFlagshipGoldenParity:
             sys.path.remove(REFERENCE)
 
         n_future, n_steps, lr = 1, 3, 1e-4
-        c = FLAGSHIP
+        h, w = c["img_size"]
 
         ref_core = reference_module.SwinTransformerV2Cr(
             img_size=c["img_size"], patch_size=c["patch_size"],
@@ -276,7 +303,7 @@ class TestFlagshipGoldenParity:
             in_chans=c["in_chans"], out_chans=c["out_chans"],
             embed_dim=c["embed_dim"], img_window_ratio=c["window_ratio"],
             drop_path_rate=0.0, full_pos_embed=True, rel_pos=False,
-            mlp_ratio=c["mlp_ratio"], checkpoint_stages=False, residual=True,
+            mlp_ratio=c["mlp_ratio"], checkpoint_stages=True, residual=True,
         ).eval()
         g = torch.Generator().manual_seed(77)
         with torch.no_grad():
@@ -295,6 +322,7 @@ class TestFlagshipGoldenParity:
             num_heads=c["num_heads"], img_window_ratio=c["window_ratio"],
             full_pos_embed=True, rel_pos=False, residual=True,
             dtype=jnp.float32, scan_blocks=False, attn_impl="xla",
+            checkpoint_stages=True,
         )
         ours_wrap = MultiStepWrapper(
             model=ours_core, n_future=n_future, n_invar=N_STATIC
@@ -310,7 +338,7 @@ class TestFlagshipGoldenParity:
             default_config_path(), "swin_73var_geo_depth12_chweight_invar_2step"
         )
         params_y["n_out_channels"] = N_DATA
-        params_y["img_shape_x"], params_y["img_shape_y"] = H, W
+        params_y["img_shape_x"], params_y["img_shape_y"] = h, w
         params_y["global_stds_path"] = str(tmp_path / "global_stds.npy")
         params_y["time_diff_stds_path"] = str(tmp_path / "time_diff_stds.npy")
         params_y["in_channels"] = list(range(N_DATA))
@@ -319,7 +347,7 @@ class TestFlagshipGoldenParity:
         ours_loss = LossHandler(params_y)
         ref_loss = ref_losses.LossHandler(
             types.SimpleNamespace(
-                n_future=n_future, img_shape_x=H, img_shape_y=W,
+                n_future=n_future, img_shape_x=h, img_shape_y=w,
                 loss=params_y.loss, channel_weights="auto",
                 channel_names=list(params_y.channel_names),
                 n_out_channels=N_DATA,
@@ -332,16 +360,16 @@ class TestFlagshipGoldenParity:
 
         batches = [
             (
-                rng.standard_normal((1, IN_CHANS, H, W)).astype(np.float32),
-                rng.standard_normal((1, n_future + 1, H, W)).astype(np.float32),
+                rng.standard_normal((1, IN_CHANS, h, w)).astype(np.float32),
+                rng.standard_normal((1, n_future + 1, h, w)).astype(np.float32),
                 rng.standard_normal(
-                    (1, (n_future + 1) * N_DATA, H, W)
+                    (1, (n_future + 1) * N_DATA, h, w)
                 ).astype(np.float32),
             )
             for _ in range(n_steps)
         ]
 
-        x0 = jnp.zeros((1, c["in_chans"], H, W), jnp.float32)
+        x0 = jnp.zeros((1, c["in_chans"], h, w), jnp.float32)
         template = jax.eval_shape(lambda: ours_core.init(jax.random.key(0), x0))
         params = {"model": torch_to_flax(ref_core, template["params"], cfg=c)}
 
@@ -379,7 +407,7 @@ class TestFlagshipGoldenParity:
         from tests.conftest import parity_record
 
         parity_record(
-            "flagship_fullres_2step_finetune_trajectory",
+            record_name,
             {
                 "losses_ours": losses_j,
                 "losses_torch": losses_t,

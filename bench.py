@@ -296,8 +296,11 @@ def main():
         projected = max(150.0, *(1.3 * c for c in family_costs)) if family_costs else 150.0
         if rows and (out_of_budget or elapsed + projected > budget_s):
             out_of_budget = True
-            if name in committed:
-                row = dict(committed[name])
+            # fall back to the measured scan-blocks form where the plain
+            # form's remote compile crashed (depth24 this round)
+            hit = committed.get(name) or committed.get(f"{name}_scanblocks")
+            if hit:
+                row = dict(hit)
                 row["source"] = (
                     "BENCH_FAMILIES_r05.json — builder-measured in-round by "
                     "scripts/bench_families.py (same chip, same measurement "
